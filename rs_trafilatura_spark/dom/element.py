@@ -1,0 +1,239 @@
+"""Lightweight DOM element with the lxml text/tail model.
+
+The reference engine's whitespace-exact output depends on the
+"text before first child / tail after closing tag" model
+(reference: etree.rs:8-18).  We replicate that model in pure Python so the
+kernel has zero native dependencies and ships via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+VOID_TAGS = frozenset(
+    {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+)
+
+_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+_ATTR_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
+
+
+def escape_text(s: str) -> str:
+    for k, v in _ESCAPES.items():
+        s = s.replace(k, v)
+    return s
+
+
+def escape_attr(s: str) -> str:
+    for k, v in _ATTR_ESCAPES.items():
+        s = s.replace(k, v)
+    return s
+
+
+class Element:
+    """One DOM element. ``text`` precedes the first child; each child's
+    ``tail`` follows that child's closing tag (lxml semantics)."""
+
+    __slots__ = ("tag", "attrib", "children", "parent", "text", "tail", "_srcpos")
+
+    def __init__(self, tag: str, attrib: Optional[dict] = None):
+        self.tag = tag
+        self.attrib: dict = attrib or {}
+        self.children: list[Element] = []
+        self.parent: Optional[Element] = None
+        self.text: str = ""
+        self.tail: str = ""
+        # (start, end) byte offsets into the source html, when known
+        self._srcpos: Optional[tuple[int, int]] = None
+
+    # --- construction -----------------------------------------------------
+    def append(self, child: "Element") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def insert(self, idx: int, child: "Element") -> None:
+        child.parent = self
+        self.children.insert(idx, child)
+
+    # --- attributes --------------------------------------------------------
+    def get(self, name: str, default: str = "") -> str:
+        return self.attrib.get(name, default)
+
+    @property
+    def classes(self) -> list[str]:
+        return self.get("class").split()
+
+    @property
+    def id(self) -> str:
+        return self.get("id")
+
+    # --- traversal ----------------------------------------------------------
+    def iter(self, tag: Optional[str] = None) -> Iterator["Element"]:
+        """Pre-order traversal including self (iterative: real pages nest
+        deeply enough to threaten Python's recursion limit)."""
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            if tag is None or el.tag == tag:
+                yield el
+            stack.extend(reversed(el.children))
+
+    def iterdesc(self) -> Iterator["Element"]:
+        """Pre-order traversal of descendants (excluding self)."""
+        stack = list(reversed(self.children))
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(reversed(el.children))
+
+    def ancestors(self) -> Iterator["Element"]:
+        cur = self.parent
+        while cur is not None:
+            yield cur
+            cur = cur.parent
+
+    def find(self, tag: str) -> Optional["Element"]:
+        for el in self.iter(tag):
+            return el
+        return None
+
+    def findall(self, tag: str) -> list["Element"]:
+        return list(self.iter(tag))
+
+    def next_element_sibling(self) -> Optional["Element"]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.children
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    # --- text ----------------------------------------------------------------
+    def itertext(self, skip_tags: frozenset = frozenset()) -> Iterator[str]:
+        """All text content in document order (text + child subtrees + tails).
+        Iterative; ``skip_tags`` subtrees contribute no text (their tails,
+        which belong to the parent, still do)."""
+        # stack holds either Element (to open) or str (tail to emit)
+        if self.tag in skip_tags:
+            return
+        stack: list = [self]
+        while stack:
+            item = stack.pop()
+            if isinstance(item, str):
+                yield item
+                continue
+            if item is not self and item.tag in skip_tags:
+                if item.tail:
+                    yield item.tail
+                continue
+            if item.text:
+                yield item.text
+            for child in reversed(item.children):
+                if child.tail:
+                    stack.append(child.tail)
+                stack.append(child)
+
+    def text_content(self) -> str:
+        """Concatenated descendant text (like dom_query's text_content);
+        script/style raw text included only if present in the tree."""
+        return "".join(self.itertext())
+
+    def iter_text_joined(self, sep: str = " ") -> str:
+        """Join text chunks with ``sep`` (reference etree::iter_text)."""
+        return sep.join(t for t in self.itertext() if t)
+
+    # --- mutation --------------------------------------------------------------
+    def drop_tree(self) -> None:
+        """Remove self and subtree; the tail is preserved by merging it into
+        the previous sibling's tail / parent's text (lxml drop_tree semantics,
+        which the reference's tail-aware pruning mirrors,
+        extractor/pruning.rs:76-116)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        if self.tail:
+            if idx > 0:
+                parent.children[idx - 1].tail += self.tail
+            else:
+                parent.text += self.tail
+        del parent.children[idx]
+        self.parent = None
+
+    def remove_keep_tail(self) -> None:
+        self.drop_tree()
+
+    def unwrap(self) -> None:
+        """Strip this tag but keep children in place (lxml strip_tags for one
+        element; reference TAGS_TO_STRIP semantics, extractor/tags.rs:110-113)."""
+        parent = self.parent
+        if parent is None:
+            return
+        idx = parent.children.index(self)
+        # merge self.text into the left neighbour
+        if self.text:
+            if idx > 0:
+                parent.children[idx - 1].tail += self.text
+            else:
+                parent.text += self.text
+        for child in self.children:
+            child.parent = parent
+        # tail goes after our children (or merges left if no children)
+        if self.tail:
+            if self.children:
+                self.children[-1].tail += self.tail
+            elif idx > 0:
+                parent.children[idx - 1].tail += self.tail
+            else:
+                parent.text += self.tail
+        parent.children[idx:idx + 1] = self.children
+        self.parent = None
+
+    def rename(self, tag: str) -> None:
+        self.tag = tag
+
+    # --- serialization -----------------------------------------------------------
+    def inner_html(self) -> str:
+        parts: list[str] = []
+        if self.text:
+            parts.append(escape_text(self.text))
+        for child in self.children:
+            parts.append(child.outer_html())
+            if child.tail:
+                parts.append(escape_text(child.tail))
+        return "".join(parts)
+
+    def outer_html(self) -> str:
+        attrs = "".join(
+            f' {k}="{escape_attr(v)}"' if v is not None else f" {k}"
+            for k, v in self.attrib.items()
+        )
+        if self.tag in VOID_TAGS:
+            return f"<{self.tag}{attrs}/>"
+        if self.tag in ("script", "style"):
+            # raw text, not escaped
+            return f"<{self.tag}{attrs}>{self.text}</{self.tag}>"
+        return f"<{self.tag}{attrs}>{self.inner_html()}</{self.tag}>"
+
+    def copy(self) -> "Element":
+        """Deep copy of the subtree (for the pre-cleaning backup clone,
+        reference extract.rs:113)."""
+        new = Element(self.tag, dict(self.attrib))
+        new.text = self.text
+        new.tail = self.tail
+        new._srcpos = self._srcpos
+        for child in self.children:
+            c = child.copy()
+            c.parent = new
+            new.children.append(c)
+        return new
+
+    def __repr__(self) -> str:  # pragma: no cover
+        ident = f"#{self.id}" if self.id else ""
+        cls = "." + ".".join(self.classes) if self.classes else ""
+        return f"<Element {self.tag}{ident}{cls} children={len(self.children)}>"

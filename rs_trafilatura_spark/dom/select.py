@@ -1,0 +1,153 @@
+"""Tiny CSS-subset selector engine over the Element tree.
+
+Supports exactly the selector forms the extraction rules need (the reference
+drives dom_query with simple selectors — tag, #id, .class, [attr], [attr=v],
+[attr*=v], [attr~=v], [attr^=v], compounds, comma unions, and descendant
+chains; see e.g. patterns.rs:145-160, selector/content.rs:519-543).
+Selectors are parsed once and cached.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+from typing import Callable, Iterator, Optional
+
+from .element import Element
+
+_SIMPLE_RE = re.compile(
+    r"""
+    (?P<tag>[a-zA-Z][a-zA-Z0-9-]*|\*)?
+    (?P<parts>(?:\#[\w-]+|\.[\w-]+|\[[^\]]+\])*)
+    """,
+    re.VERBOSE,
+)
+_PART_RE = re.compile(r"\#([\w-]+)|\.([\w-]+)|\[([^\]]+)\]")
+_ATTR_RE = re.compile(r"^([\w:-]+)\s*(?:([*~^$|]?=)\s*(.*))?$")
+
+
+def _parse_attr(body: str) -> Callable[[Element], bool]:
+    m = _ATTR_RE.match(body.strip())
+    if not m:
+        return lambda el: False
+    name, op, val = m.group(1), m.group(2), m.group(3)
+    if val is not None:
+        val = val.strip()
+        if len(val) >= 2 and val[0] in "\"'" and val[-1] == val[0]:
+            val = val[1:-1]
+    if op is None:
+        return lambda el, n=name: n in el.attrib
+    if op == "=":
+        return lambda el, n=name, v=val: el.attrib.get(n) == v
+    if op == "*=":
+        return lambda el, n=name, v=val: v in el.attrib.get(n, "")
+    if op == "~=":
+        return lambda el, n=name, v=val: v in el.attrib.get(n, "").split()
+    if op == "^=":
+        return lambda el, n=name, v=val: el.attrib.get(n, "").startswith(v)
+    if op == "$=":
+        return lambda el, n=name, v=val: el.attrib.get(n, "").endswith(v)
+    return lambda el: False
+
+
+class _Compound:
+    __slots__ = ("tag", "preds")
+
+    def __init__(self, token: str):
+        m = _SIMPLE_RE.match(token)
+        self.tag: Optional[str] = None
+        self.preds: list[Callable[[Element], bool]] = []
+        if not m:
+            return
+        tag = m.group("tag")
+        if tag and tag != "*":
+            self.tag = tag.lower()
+        for pm in _PART_RE.finditer(m.group("parts") or ""):
+            if pm.group(1):
+                ident = pm.group(1)
+                self.preds.append(lambda el, i=ident: el.attrib.get("id") == i)
+            elif pm.group(2):
+                cls = pm.group(2)
+                self.preds.append(lambda el, c=cls: c in el.classes)
+            elif pm.group(3):
+                self.preds.append(_parse_attr(pm.group(3)))
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        return all(p(el) for p in self.preds)
+
+
+class _Chain:
+    """Descendant chain: 'a b c' (child combinator '>' also supported)."""
+
+    __slots__ = ("steps",)
+
+    def __init__(self, text: str):
+        # normalize "a > b" -> tokens with combinator markers
+        toks = text.replace(">", " > ").split()
+        self.steps: list[tuple[str, _Compound]] = []  # (combinator, compound)
+        comb = " "
+        for t in toks:
+            if t == ">":
+                comb = ">"
+                continue
+            self.steps.append((comb, _Compound(t)))
+            comb = " "
+
+    def matches(self, el: Element) -> bool:
+        # match last step against el, walk ancestors for earlier steps
+        if not self.steps:
+            return False
+        if not self.steps[-1][1].matches(el):
+            return False
+        cur = el
+        for i in range(len(self.steps) - 2, -1, -1):
+            comb_right = self.steps[i + 1][0]
+            comp = self.steps[i][1]
+            if comb_right == ">":
+                cur = cur.parent
+                if cur is None or not comp.matches(cur):
+                    return False
+            else:
+                anc = cur.parent
+                found = None
+                while anc is not None:
+                    if comp.matches(anc):
+                        found = anc
+                        break
+                    anc = anc.parent
+                if found is None:
+                    return False
+                cur = found
+        return True
+
+
+@lru_cache(maxsize=4096)
+def _compile(selector: str) -> tuple:
+    return tuple(_Chain(alt.strip()) for alt in selector.split(",") if alt.strip())
+
+
+def iter_select(root: Element, selector: str) -> Iterator[Element]:
+    """Yield descendants of ``root`` (excluding root itself) matching the
+    selector, in document order."""
+    chains = _compile(selector)
+    for el in root.iterdesc():
+        for ch in chains:
+            if ch.matches(el):
+                yield el
+                break
+
+
+def select(root: Element, selector: str) -> list[Element]:
+    return list(iter_select(root, selector))
+
+
+def select_first(root: Element, selector: str) -> Optional[Element]:
+    for el in iter_select(root, selector):
+        return el
+    return None
+
+
+def matches(el: Element, selector: str) -> bool:
+    return any(ch.matches(el) for ch in _compile(selector))

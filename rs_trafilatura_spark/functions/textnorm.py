@@ -1,0 +1,117 @@
+"""Text normalization — the byte-exactness core.
+
+``normalize_text_output`` re-expresses the reference's pending-space state
+machine (extract.rs:3081-3118): tabs/spaces become a single pending space,
+newlines delete a trailing space, sentence punctuation attaches left, then
+per-line edge whitespace is stripped, >=3 newlines collapse to 2, and the
+result is trimmed.  ``clean_text`` is the single-line variant
+(extract.rs:3645-3658).
+"""
+
+from __future__ import annotations
+
+import re
+
+LINE_WHITESPACE = re.compile(r"(?m)^[ \t]+|[ \t]+$")
+MULTIPLE_NEWLINES = re.compile(r"\n{3,}")
+WHITESPACE_NORMALIZE = re.compile(r"\s+")
+
+_PUNCT = frozenset(".,;:!?")
+
+
+def normalize_text_output(text: str) -> str:
+    out: list[str] = []
+    pending_space = False
+    for ch in text:
+        if ch == "\r":
+            continue
+        if ch == "\n":
+            if out and out[-1] == " ":
+                out.pop()
+            out.append("\n")
+            pending_space = False
+        elif ch in ("\t", " "):
+            pending_space = True
+        elif ch in _PUNCT:
+            if out and out[-1] == " ":
+                out.pop()
+            out.append(ch)
+            pending_space = False
+        else:
+            if pending_space and out and out[-1] != "\n":
+                out.append(" ")
+            out.append(ch)
+            pending_space = False
+    s = "".join(out)
+    s = LINE_WHITESPACE.sub("", s)
+    s = MULTIPLE_NEWLINES.sub("\n\n", s)
+    return s.strip()
+
+
+def clean_text(s: str) -> str:
+    """Collapse ALL whitespace to single spaces (single-line metadata)."""
+    s = s.strip()
+    if not s:
+        return ""
+    s = WHITESPACE_NORMALIZE.sub(" ", s)
+    s = MULTIPLE_NEWLINES.sub("\n\n", s)
+    return s.strip()
+
+
+def escape_html(s: str) -> str:
+    """5-entity escape (reference extract.rs:3066-3079)."""
+    return (
+        s.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+def normalize_title(s: str) -> str:
+    return " ".join(s.lower().split())
+
+
+_TITLE_SEPARATORS = (" - ", " | ", " – ", " — ", ": ")
+
+
+def titles_match(heading: str, page_title: str) -> bool:
+    """h1 vs page-title match incl. ' - Site Name' suffixes
+    (reference extract.rs:3662-3701)."""
+    h = normalize_title(heading)
+    t = normalize_title(page_title)
+    if not h or not t:
+        return False
+    if h == t:
+        return True
+    for sep in _TITLE_SEPARATORS:
+        prefix = t.split(sep)[0]
+        if prefix and h == normalize_title(prefix):
+            return True
+    if t.startswith(h) and len(t) > len(h) + 3:
+        rest = t[len(h):]
+        if rest.startswith((" -", " |", " –", " —")):
+            return True
+    return False
+
+
+def count_sentences(text: str) -> int:
+    """Runs of sentence terminators count once (extract.rs:2270-2283)."""
+    count = 0
+    prev_term = False
+    for ch in text:
+        is_term = ch in ".!?"
+        if is_term and not prev_term:
+            count += 1
+        prev_term = is_term
+    return count
+
+
+def count_words(text: str) -> int:
+    return len(text.split())
+
+
+def text_chars_test(s: str) -> bool:
+    """True if the string contains at least one alphanumeric character."""
+    return any(c.isalnum() for c in s)

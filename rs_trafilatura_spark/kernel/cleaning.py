@@ -1,0 +1,131 @@
+"""Document cleaning (reference html_processing.rs:120-346).
+
+Order matters and changes output bytes:
+1. profile boilerplate selector removal
+2. figure->div rename when wrapping tables/blockquotes
+3. noscript salvage (>500 chars, non-consent) — unwrap instead of remove
+4. contextual footer removal (keep footers inside article/main)
+5. bulk removal (TAGS_TO_CLEAN) / unwrap (TAGS_TO_STRIP) / modal+GDPR selectors
+6. tail-aware empty-element pruning under a 1 MB guard
+"""
+
+from __future__ import annotations
+
+from ..dom import Element, select
+from ..options import Options
+from .tags import (
+    EMPTY_TAGS_TO_REMOVE,
+    TABLE_TAGS_TO_STRIP,
+    TAGS_TO_CLEAN,
+    TAGS_TO_STRIP,
+)
+
+MAX_PRUNE_DOCUMENT_SIZE = 1_000_000
+_NOSCRIPT_CONTENT_THRESHOLD = 500
+
+_CONSENT_MARKERS = (
+    "cookie", "consent", "gdpr", "privacy", "third party partners",
+    "personalize content", "enable javascript",
+)
+
+_MODAL_CONSENT_SELECTORS = (
+    ".modal-dialog, .modal-content, .modal-backdrop, .modal-overlay, "
+    "[class~='modal'], [role='dialog'], [id*='gdpr'], [class*='gdpr'], "
+    "[id*='consent'], [class*='consent'], [class*='cookie-banner'], "
+    "[id*='cookie-banner'], [class*='cookiebanner'], [id*='cookiebanner']"
+)
+
+
+def _inside_article_or_main(el: Element) -> bool:
+    for anc in el.ancestors():
+        if anc.tag in ("article", "main"):
+            return True
+        if anc.tag in ("body", "html"):
+            break
+    return False
+
+
+def doc_cleaning(body: Element, opts: Options,
+                 preserve_tags: frozenset = frozenset(),
+                 boilerplate_selectors: tuple[str, ...] = ()) -> None:
+    """Mutates the tree under ``body``."""
+    # 1. page-type boilerplate selectors
+    if boilerplate_selectors:
+        for el in select(body, ", ".join(boilerplate_selectors)):
+            if el.parent is not None:
+                el.drop_tree()
+
+    # 2. figure wrapping table/blockquote -> div (content container)
+    for figure in select(body, "figure"):
+        has_table = opts.include_tables and bool(select(figure, "table"))
+        has_bq = bool(select(figure, "blockquote"))
+        if has_table or has_bq:
+            figure.rename("div")
+
+    # 3. noscript salvage
+    for noscript in select(body, "noscript"):
+        text = noscript.text_content()
+        low = text.lower()
+        if len(text.strip()) > _NOSCRIPT_CONTENT_THRESHOLD and not any(
+            m in low for m in _CONSENT_MARKERS
+        ):
+            noscript.unwrap()
+
+    # 4. contextual footer removal
+    for footer in select(body, "footer"):
+        if footer.parent is not None and not _inside_article_or_main(footer):
+            footer.drop_tree()
+
+    # 5. bulk clean
+    to_clean = set(TAGS_TO_CLEAN) - {"footer"} - set(preserve_tags)
+    to_strip = set(TAGS_TO_STRIP) | set(TABLE_TAGS_TO_STRIP)
+    if opts.include_images:
+        to_clean -= {"figure", "picture", "source"}
+        to_strip -= {"img"}
+    if not opts.include_tables:
+        to_clean |= {"table", "td", "th", "tr"}
+
+    # single pass: collect victims first (mutating while iterating is unsafe)
+    clean_victims: list[Element] = []
+    strip_victims: list[Element] = []
+    for el in body.iterdesc():
+        if el.tag in to_clean:
+            clean_victims.append(el)
+        elif el.tag in to_strip:
+            strip_victims.append(el)
+    for el in clean_victims:
+        if el.parent is not None:
+            el.drop_tree()
+    for el in strip_victims:
+        if el.parent is not None:
+            el.unwrap()
+
+    # modal / GDPR / consent selectors
+    for el in select(body, _MODAL_CONSENT_SELECTORS):
+        if el.parent is not None:
+            el.drop_tree()
+
+    # 6. tail-aware empty-element pruning with size guard
+    if len(body.text_content()) < MAX_PRUNE_DOCUMENT_SIZE:
+        prune_empty_elements(body)
+
+
+def prune_empty_elements(root: Element) -> None:
+    """Remove EMPTY_TAGS_TO_REMOVE elements with no children and no text;
+    drop_tree keeps tails (reference html_processing.rs:323-346,
+    extractor/pruning.rs:76-116)."""
+    # iterate until fixpoint (removing a leaf can empty its parent)
+    changed = True
+    while changed:
+        changed = False
+        victims = [
+            el
+            for el in root.iterdesc()
+            if el.tag in EMPTY_TAGS_TO_REMOVE
+            and not el.children
+            and not el.text.strip()
+        ]
+        for el in victims:
+            if el.parent is not None:
+                el.drop_tree()
+                changed = True

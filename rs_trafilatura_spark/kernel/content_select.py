@@ -1,0 +1,417 @@
+"""Content-node selection: 6-rule cascade, wrapper-skip, parent promotion,
+then semantic selectors, then the heuristic scorer.
+
+Re-expresses reference selector/content.rs:13-694 and
+extract.rs:1831-1897 / :2035-2268.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Optional
+
+from ..dom import Element, select
+from ..functions.textnorm import clean_text, count_sentences
+from ..options import Options
+from .boilerplate import is_boilerplate
+from .patterns import ARTICLE_SELECTOR, MAIN_SELECTOR
+
+MIN_CONTENT_TEXT_LEN = 1000
+
+# --- rule predicates (selector/content.rs:29-285) -----------------------------
+
+_RULE1_CLASS_CONTAINS = (
+    "snippet-body", "post-text", "post_text", "post-body", "post-entry",
+    "postentry", "post-content", "post_content", "post_inner_wrapper",
+    "article-text", "entry-content", "article-content", "article__content",
+    "article-body", "article__body", "ArticleContent", "page-content",
+    "text-content", "body-text", "article__container", "art-content",
+    "article_body", "va-bodytext", "blog-content", "blog_content",
+    "blogInner__content", "blog-article-content", "blog-post-content",
+    "blog_post_content", "blog-main-content", "wysiwyg", "blogPostBody",
+    "blogPostContent", "postBody", "postContent", "mw-parser-output",
+    "mw-content-text",
+)
+_RULE1_CLASS_CONTAINS_LOWER = ("postcontent", "articletext", "articlebody",
+                               "contentbody", "blogcontent", "storybody")
+_RULE1_ID_CONTAINS = (
+    "entry-content", "article-content", "article__content", "article-body",
+    "article__body", "body-text", "art-content", "article_body",
+    "va-bodytext", "mw-content-text", "bodyContent",
+)
+_RULE1_ID_CONTAINS_LOWER = ("articlebody", "storybody")
+
+
+def content_rule_1(el: Element) -> bool:
+    tag = el.tag
+    id_ = el.get("id")
+    cls = el.get("class")
+    if tag == "td":
+        return "storybody" in id_.lower() or "storybody" in cls.lower()
+    if tag not in ("article", "div", "main", "section"):
+        return False
+    if cls in ("post", "entry", "only-content"):
+        return True
+    if el.get("itemprop") == "articleBody":
+        return True
+    if id_ == "articleContent" or id_.lower() == "contentbody":
+        return True
+    cls_low = cls.lower()
+    id_low = id_.lower()
+    return (
+        any(p in cls for p in _RULE1_CLASS_CONTAINS)
+        or any(p in cls_low for p in _RULE1_CLASS_CONTAINS_LOWER)
+        or any(p in id_ for p in _RULE1_ID_CONTAINS)
+        or any(p in id_low for p in _RULE1_ID_CONTAINS_LOWER)
+    )
+
+
+def content_rule_2(el: Element) -> bool:
+    return el.tag in ("article", "story")
+
+
+_RULE3_CLASS_CONTAINS = (
+    "post-bodycopy", "storycontent", "story-content", "theme-content",
+    "blog-content", "section-content", "single-content", "single-post",
+    "main-column", "wpb_text_column", "story-body", "field-body",
+)
+
+
+def content_rule_3(el: Element) -> bool:
+    if el.tag not in ("article", "div", "main", "section"):
+        return False
+    id_ = el.get("id")
+    cls = el.get("class")
+    if cls in ("postarea", "art-postcontent", "text", "cell", "story"):
+        return True
+    if id_ in ("article", "story"):
+        return True
+    if el.get("role") == "article":
+        return True
+    return (
+        any(p in cls for p in _RULE3_CLASS_CONTAINS)
+        or "fulltext" in cls.lower()
+        or id_.startswith("primary")
+        or cls.startswith("article")
+        or "story-body" in id_
+    )
+
+
+def content_rule_4(el: Element) -> bool:
+    if el.tag not in ("article", "div", "main", "section"):
+        return False
+    id_ = el.get("id")
+    cls = el.get("class")
+    id_low = id_.lower()
+    cls_low = cls.lower()
+    return (
+        "content-main" in id_ or "content-main" in cls or "content_main" in cls
+        or "content-body" in id_ or "content-body" in cls
+        or "contentBody" in id_ or "content__body" in cls
+        or "main-content" in id_low or "main-content" in cls_low
+        or "page-content" in cls_low
+        or id_low == "content" or cls_low == "content"
+    )
+
+
+def content_rule_5(el: Element) -> bool:
+    if el.tag == "main":
+        return True
+    if el.tag not in ("article", "div", "section"):
+        return False
+    return (
+        el.get("class").startswith("main")
+        or el.get("id").startswith("main")
+        or el.get("role").startswith("main")
+    )
+
+
+_RULE6_BOILERPLATE = (
+    "footer", "header", "sidebar", "comment", "share", "social", "related",
+    "nav", "menu", "ad", "promo", "widget", "meta", "dropdown", "popup",
+    "modal", "banner", "cookie", "newsletter", "subscribe", "signup",
+    "login", "signin", "cta", "ddcards", "cards", "featured", "trending",
+    "popular", "recommended", "toolbar", "topbar", "bottombar",
+)
+
+
+def content_rule_6(el: Element) -> bool:
+    if el.tag not in ("div", "section", "td"):
+        return False
+    id_low = el.get("id").lower()
+    cls_low = el.get("class").lower()
+    if "content" not in id_low and "content" not in cls_low:
+        return False
+    return not any(p in id_low or p in cls_low for p in _RULE6_BOILERPLATE)
+
+
+CONTENT_RULES: tuple[Callable[[Element], bool], ...] = (
+    content_rule_1, content_rule_2, content_rule_3,
+    content_rule_4, content_rule_5, content_rule_6,
+)
+
+# --- wrapper / boilerplate-context checks (selector/content.rs:313-612) ---------
+
+_BOILERPLATE_CLASS_PATTERNS = (
+    "mega-menu", "navigation", "navbar", "toolbar", "accordion", "popup",
+    "overlay", "listing", "latest", "recent", "related", "hero",
+)
+_EXACT_WORD_PATTERNS = ("menu", "nav", "modal", "footer", "header", "banner")
+_SIDEBAR_POSITION_WORDS = frozenset({"left", "right", "primary", "secondary", "main", "widget"})
+_WORD_SPLIT = re.compile(r"[^a-z0-9]+")
+
+
+def _has_word_boundary_match(s: str, pattern: str) -> bool:
+    low = s.lower()
+    if low == pattern:
+        return True
+    start = 0
+    n = len(pattern)
+    while True:
+        pos = low.find(pattern, start)
+        if pos < 0:
+            return False
+        left_ok = pos == 0 or not low[pos - 1].isalnum()
+        end = pos + n
+        right_ok = end >= len(low) or not low[end].isalnum()
+        if left_ok and right_ok:
+            return True
+        start = pos + 1
+
+
+def _has_exact_word_match(s: str, pattern: str) -> bool:
+    return pattern in _WORD_SPLIT.split(s.lower())
+
+
+def _has_sidebar_match(s: str) -> bool:
+    for token in s.lower().split():
+        parts = re.split(r"[-_]", token)
+        for i, part in enumerate(parts):
+            if part == "sidebar":
+                if len(parts) == 1 or i == 0:
+                    return True
+                if parts[i - 1] in _SIDEBAR_POSITION_WORDS:
+                    return True
+    return False
+
+
+def class_contains_boilerplate(cls: str) -> bool:
+    for p in _BOILERPLATE_CLASS_PATTERNS:
+        if _has_word_boundary_match(cls, p):
+            return True
+    for p in _EXACT_WORD_PATTERNS:
+        if _has_exact_word_match(cls, p):
+            return True
+    return _has_sidebar_match(cls)
+
+
+def _build_boilerplate_ids(root: Element) -> set[int]:
+    """Python ids of boilerplate elements, for O(1) ancestor checks
+    (BoilerplateCache, selector/content.rs:459-515)."""
+    ids: set[int] = set()
+    for el in root.iterdesc():
+        if el.tag in ("header", "nav", "aside", "footer"):
+            ids.add(id(el))
+        else:
+            cls = el.get("class")
+            if cls and class_contains_boilerplate(cls):
+                ids.add(id(el))
+    return ids
+
+
+def _is_inside_boilerplate(el: Element, boilerplate_ids: set[int]) -> bool:
+    for anc in el.ancestors():
+        if id(anc) in boilerplate_ids:
+            return True
+        if anc.tag in ("body", "html"):
+            break
+    return False
+
+
+_NESTED_CONTENT_SELECTOR = (
+    "[class*='content_main'], [class*='content-main'], "
+    "[class*='article-content'], [class*='article_content'], "
+    "[class*='post-content'], [class*='post_content'], "
+    "[class*='story-content'], [itemprop='articleBody'], "
+    "[class*='blogInner__content'], [class*='blog-content'], "
+    "[class*='blog_content'], [class*='blogContent'], "
+    "[class*='entry-content']"
+)
+
+_WRAPPER_BOILERPLATE_SELECTOR = (
+    "[class*='sidebar'], [class*='social'], [class*='share-'], "
+    "[class*='-share'], [class*='author-'], [class*='sticky-'], "
+    "[class*='toc-'], [class*='-toc'], [class*='related-'], [class*='widget']"
+)
+
+
+def _contains_boilerplate_child(el: Element) -> bool:
+    if select(el, "aside, nav"):
+        return True
+    return bool(select(el, _WRAPPER_BOILERPLATE_SELECTOR))
+
+
+def _has_nested_content_element(el: Element) -> bool:
+    nested_articles = select(el, "article")
+    if len(nested_articles) > 1:
+        return any(
+            len(a.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
+            for a in nested_articles
+        )
+    return any(
+        len(m.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
+        for m in select(el, _NESTED_CONTENT_SELECTOR)
+    )
+
+
+def find_content(body: Element) -> Optional[Element]:
+    """Priority-rule content finder (selector/content.rs:618-694)."""
+    boilerplate_ids = _build_boilerplate_ids(body)
+
+    for rule in CONTENT_RULES:
+        for el in body.iterdesc():
+            if not rule(el):
+                continue
+            if _is_inside_boilerplate(el, boilerplate_ids):
+                continue
+            has_nested = _has_nested_content_element(el)
+            if el.tag in ("div", "section"):
+                if has_nested and _contains_boilerplate_child(el):
+                    continue
+            if el.tag == "article" and not el.get("class") and has_nested:
+                if select(
+                    el,
+                    "article[class*='content_main'], article[class*='content-main'], "
+                    "article[class*='article-body'], article[class*='article-content'], "
+                    "article[class*='entry-content'], article[class*='post-content']",
+                ):
+                    continue
+            text_len = len(el.text_content().strip())
+            if text_len < MIN_CONTENT_TEXT_LEN:
+                parent = el.parent
+                if parent is not None:
+                    if _is_inside_boilerplate(parent, boilerplate_ids):
+                        continue
+                    parent_len = len(parent.text_content().strip())
+                    if parent_len > text_len * 2 and parent_len >= MIN_CONTENT_TEXT_LEN:
+                        return parent
+                continue
+            return el
+    return None
+
+
+# --- heuristic scorer (extract.rs:2035-2268) --------------------------------------
+
+_POSITIVE_NAMES = ("article", "body", "content", "entry", "main", "page",
+                   "post", "text", "blog", "story")
+_NEGATIVE_NAMES = ("comment", "meta", "footer", "footnote", "sidebar",
+                   "widget", "nav", "menu", "header", "banner", "social")
+
+
+def class_score(el: Element) -> float:
+    combined = f"{el.get('class').lower()} {el.get('id').lower()}"
+    score = 0.0
+    for p in _POSITIVE_NAMES:
+        if p in combined:
+            score += 25.0
+    for p in _NEGATIVE_NAMES:
+        if p in combined:
+            score -= 25.0
+    return score
+
+
+def score_content_node(el: Element, cleaned_text: str, text_len: int,
+                       depth: int) -> int:
+    sentence_count = count_sentences(cleaned_text)
+    p_elements = select(el, "p")
+    substantive_p = sum(
+        1 for p in p_elements if len(clean_text(p.text_content())) >= 100
+    )
+    p_count = len(p_elements)
+    h_count = len(select(el, "h1, h2, h3, h4, h5, h6"))
+    link_text_len = sum(
+        len(clean_text(a.text_content())) for a in select(el, "a")
+    )
+    link_density = link_text_len / text_len if text_len > 0 else 1.0
+
+    effective_len = min(text_len, 8000)
+    effective_sentences = min(sentence_count, effective_len // 50)
+
+    score = effective_len
+    score += p_count * 200
+    score += h_count * 100
+    score += substantive_p * 300
+    score += effective_sentences * 50
+    score += depth * 10
+    score += int(class_score(el))
+
+    if link_density > 0.5:
+        score = int(score * (1.0 - link_density))
+    elif link_density > 0.25:
+        score = int(score * (1.0 - link_density * 0.5))
+    return score
+
+
+def find_heuristic_content_node(body: Element, opts: Options) -> Optional[Element]:
+    body_cleaned = clean_text(body.text_content())
+    body_text_len = len(body_cleaned)
+    allow_body = 0 < body_text_len <= 500 and opts.target_language is None
+
+    best_score = 0
+    best: Optional[Element] = None
+    if allow_body:
+        best_score = score_content_node(body, body_cleaned, body_text_len, 0)
+        best = body
+
+    for el in body.iterdesc():
+        if el.tag not in ("div", "section", "article", "main"):
+            continue
+        if is_boilerplate(el.get("class")) or is_boilerplate(el.get("id")):
+            continue
+        cleaned = clean_text(el.text_content())
+        text_len = len(cleaned)
+        if text_len == 0:
+            continue
+        depth = 0
+        cur = el.parent
+        while cur is not None and cur.tag != "body":
+            depth += 1
+            cur = cur.parent
+        score = score_content_node(el, cleaned, text_len, depth)
+        if score > best_score:
+            best_score = score
+            best = el
+
+    if opts.favor_precision:
+        min_score = 5000
+    elif opts.favor_recall:
+        min_score = 500
+    else:
+        min_score = 1000
+
+    if best_score >= min_score and best is not None:
+        best_len = len(clean_text(best.text_content()))
+        coverage = best_len / body_text_len if body_text_len > 0 else 1.0
+        if coverage < 0.3:
+            return None
+        return best
+    return None
+
+
+def find_main_content_node(body: Element, opts: Options,
+                           profile_selectors: tuple[str, ...] = ()) -> Optional[Element]:
+    """Full selection cascade (extract.rs:1831-1897)."""
+    for sel_str in profile_selectors:
+        for el in select(body, sel_str):
+            if len(el.text_content().strip()) > 100:
+                return el
+    content = find_content(body)
+    if content is not None:
+        return content
+    articles = select(body, ARTICLE_SELECTOR)
+    if articles:
+        return articles[0]
+    mains = select(body, MAIN_SELECTOR)
+    if mains:
+        return mains[0]
+    return find_heuristic_content_node(body, opts)

@@ -1,0 +1,264 @@
+"""Per-document extraction cascade — the kernel's single-document entry.
+
+Stage order mirrors the reference's live path (extract.rs:36-448; SURVEY.md
+§3.1): parse -> metadata (uncleaned) -> page-type -> backup clone -> early
+JSON-LD probes -> profile -> cleaning -> main extraction with the recovery
+ladder -> fallback comparison + baseline rescue -> structured-data
+preference -> dedup -> quality -> final validations.
+
+Errors degrade to warnings; empty input returns a result, not an exception
+(extract.rs:161-169).  The ``stage`` field is the engine's first-class
+lineage column (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Optional
+
+from ..dom import Document, Element, select
+from ..functions.textnorm import clean_text
+from ..options import DEFAULT_OPTIONS, Options
+from .cleaning import doc_cleaning
+from .content_select import find_main_content_node
+from .dedup import LruCache, dedup_blocks
+from .fallback import baseline
+from .metadata import (
+    extract_metadata,
+    find_jsonld_article_body,
+    find_jsonld_product_description,
+)
+from .page_type import PRODUCT, classify_page, profile_for
+from .quality import compute_extraction_quality
+from .traversal import extract_filtered_text, extract_filtered_html
+
+_MIN_RECURSION = 20_000
+
+
+def _ensure_recursion_limit() -> None:
+    if sys.getrecursionlimit() < _MIN_RECURSION:
+        sys.setrecursionlimit(_MIN_RECURSION)
+
+
+def _count_words(text: str, min_length: int = 1) -> int:
+    return sum(1 for w in text.split() if len(w) >= min_length)
+
+
+def _empty_result(warnings: list[str]) -> dict:
+    return {
+        "content_text": "",
+        "content_html": None,
+        "content_markdown": None,
+        "comments_text": None,
+        "comments_html": None,
+        "images": [],
+        "title": None, "author": None, "url": None, "hostname": None,
+        "description": None, "sitename": None, "date": None,
+        "categories": [], "tags": [], "id": None, "fingerprint": None,
+        "license": None, "language": None, "image": None,
+        "page_type": None,
+        "classification_confidence": None,
+        "extraction_quality": 0.0,
+        "warnings": warnings,
+        "spans": [],
+        "stage": "empty",
+    }
+
+
+def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
+    _ensure_recursion_limit()
+    warnings: list[str] = []
+
+    if not html or not html.strip():
+        return _empty_result(["Empty input document"])
+
+    # 1. parse
+    doc = Document(html)
+    body = doc.body
+    html_len = len(html)
+
+    # 2. metadata on the UNCLEANED doc (extract.rs:52)
+    meta = extract_metadata(doc, opts.author_blacklist)
+
+    # 3. page type before cleaning removes signals (extract.rs:55-92)
+    if opts.page_type:
+        page_type, confidence = opts.page_type, 1.0
+    else:
+        page_type, confidence = classify_page(doc, opts.url)
+
+    # 4. backup clone for fallbacks (extract.rs:113)
+    backup = doc.copy()
+
+    # 5. early structured-data probes (before cleaning strips <script>)
+    jsonld_body = find_jsonld_article_body(doc, min_len=500)
+    jsonld_product = (
+        find_jsonld_product_description(doc) if page_type == PRODUCT else None
+    )
+
+    # 6. profile; forum comments become content (extract.rs:135-150)
+    profile = profile_for(page_type)
+    comments_are_content = profile.comments_are_content
+
+    # 7. cleaning (extract.rs:154)
+    doc_cleaning(
+        body, opts,
+        preserve_tags=frozenset(profile.preserve_tags),
+        boilerplate_selectors=profile.boilerplate_selectors,
+    )
+
+    # 8. main extraction + recovery ladder (extract.rs:1358-1510)
+    page_title = meta.get("title")
+    content_node = find_main_content_node(body, opts, profile.content_selectors)
+    stage = "main"
+    text = ""
+    spans: list[tuple[int, int, str]] = []
+
+    def run(node: Element, filter_bp: bool = True):
+        return extract_filtered_text(
+            node, opts,
+            filter_named_boilerplate=filter_bp,
+            page_title=page_title,
+            comments_are_content=comments_are_content,
+        )
+
+    if content_node is not None:
+        text, spans = run(content_node)
+
+        # ancestor walk-up: 2 levels, parent must carry 2x the text
+        # (extract.rs:1404-1425)
+        if len(text) < opts.min_extracted_len:
+            node = content_node
+            for _ in range(2):
+                parent = node.parent
+                if parent is None or parent.tag in ("body", "html", "#root"):
+                    break
+                if len(clean_text(parent.text_content())) >= 2 * max(
+                    len(clean_text(node.text_content())), 1
+                ):
+                    cand_text, cand_spans = run(parent)
+                    if len(cand_text) > len(text):
+                        text, spans = cand_text, cand_spans
+                        content_node = parent
+                        stage = "ancestor_walkup"
+                node = parent
+
+        # relaxed-boilerplate retry (extract.rs:1445-1469)
+        if len(text) < opts.min_extracted_len:
+            relaxed_text, relaxed_spans = run(content_node, filter_bp=False)
+            if len(relaxed_text) > len(text) * 2:
+                text, spans = relaxed_text, relaxed_spans
+                stage = "relaxed_boilerplate"
+
+    # body fallback when no node selected
+    if content_node is None:
+        text, spans = run(body)
+        stage = "body" if text else "empty"
+
+    # 9. fallback comparison + unconditional baseline rescue
+    #    (extract.rs:171-226, fallback.rs:259-368)
+    needs_fallback = (
+        opts.use_fallback_extraction
+        and (
+            len(text) < opts.min_extracted_len
+            or _count_words(text) < 50
+        )
+    )
+    if needs_fallback:
+        cand_text, cand_stage = baseline(backup)
+        # candidate_is_usable ratio rules (fallback.rs:396-482 condensed):
+        # accept when current failed outright, or candidate is 2x larger
+        if len(text) < opts.min_extracted_len and len(cand_text) > len(text):
+            if cand_text:
+                text = cand_text
+                spans = []
+                stage = cand_stage
+                warnings.append("Used fallback extraction")
+        elif len(cand_text) > 2 * len(text):
+            text = cand_text
+            spans = []
+            stage = cand_stage
+            warnings.append("Used fallback extraction")
+
+    # 10. structured-data preference (extract.rs:322-372): JSON-LD body wins
+    #     when DOM failed or the structured body is 2x larger
+    if jsonld_body:
+        jl = clean_text(jsonld_body)
+        if not text or len(jl) > 2 * len(text):
+            text = jl
+            spans = []
+            stage = "jsonld_body"
+            warnings.append("Using JSON-LD content")
+
+    # product-description override (extract.rs:292-318)
+    if jsonld_product and page_type == PRODUCT:
+        jp = clean_text(jsonld_product)
+        if len(jp) > len(text):
+            text = jp
+            spans = []
+            stage = "jsonld_product"
+            warnings.append("Using JSON-LD Product description")
+
+    # 11. dedup (html_processing.rs:694-715; per-document scope by default)
+    if opts.deduplicate and text:
+        text = dedup_blocks(text, LruCache(opts.dedup_cache_size))
+
+    # 12. content html
+    content_html: Optional[str] = None
+    if opts.include_content_html and content_node is not None and stage in (
+        "main", "ancestor_walkup", "relaxed_boilerplate", "body"
+    ):
+        content_html = extract_filtered_html(
+            content_node, opts,
+            comments_are_content=comments_are_content,
+        ) or None
+
+    # 13. final validations (extract.rs:1081-1136)
+    if len(text) > opts.max_extracted_len:
+        text = text[: opts.max_extracted_len]
+        warnings.append("Content truncated at max_extracted_len")
+    if text and len(text) < opts.min_output_size:
+        warnings.append("Extracted content below min_output_size")
+    if text and _count_words(text, opts.min_word_length) < 3:
+        warnings.append("Extracted content has very few words")
+    if not text:
+        stage = "empty"
+        warnings.append("No content extracted")
+
+    # 14. quality (extract.rs:401-406)
+    quality = compute_extraction_quality(text, content_html, html_len, page_type)
+
+    return {
+        "content_text": text,
+        "content_html": content_html,
+        "content_markdown": None,  # markdown output: later phase
+        "comments_text": None,
+        "comments_html": None,
+        "images": [],
+        "title": meta.get("title"),
+        "author": meta.get("author"),
+        "url": meta.get("url") or opts.url,
+        "hostname": meta.get("hostname"),
+        "description": meta.get("description"),
+        "sitename": meta.get("sitename"),
+        "date": meta.get("date"),
+        "categories": meta.get("categories", []),
+        "tags": meta.get("tags", []),
+        "id": None,
+        "fingerprint": None,
+        "license": meta.get("license"),
+        "language": meta.get("language"),
+        "image": meta.get("image"),
+        "page_type": page_type,
+        "classification_confidence": confidence,
+        "extraction_quality": quality,
+        "warnings": warnings,
+        "spans": [(int(s), int(e), k) for s, e, k in spans],
+        "stage": stage,
+    }
+
+
+def extract_bytes(html: bytes, opts: Options = DEFAULT_OPTIONS) -> dict:
+    """Charset-sniff + transcode + extract (reference lib.rs:179-182)."""
+    from ..functions.encoding import transcode_to_utf8
+
+    return extract(transcode_to_utf8(html), opts)

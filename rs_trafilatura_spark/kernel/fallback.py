@@ -1,0 +1,107 @@
+"""Fallback extraction: the unconditional baseline() rescue chain
+(reference extractor/fallback.rs:259-368): JSON-LD articleBody ->
+<article>/<story> text -> paragraph scrape with discard/cookie filters ->
+body text -> whole-document text.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..dom import Document, Element, select
+from ..functions.textnorm import clean_text, normalize_text_output
+from .boilerplate import is_boilerplate
+from .metadata import find_jsonld_article_body
+
+
+def _should_discard(el: Element) -> bool:
+    cls = el.get("class")
+    id_ = el.get("id")
+    if cls and is_boilerplate(cls):
+        return True
+    if id_ and is_boilerplate(id_):
+        return True
+    return el.tag in ("nav", "aside", "header", "footer")
+
+
+def baseline(doc: Document) -> tuple[str, str]:
+    """Return (text, stage). Mirrors fallback.rs:259-368 over the UNCLEANED
+    backup document."""
+    # 1. JSON-LD article body
+    body_text = find_jsonld_article_body(doc)
+    if body_text and len(body_text) > 100:
+        return clean_text(body_text), "jsonld_body"
+
+    # 2. basic tree cleaning (fallback.rs:278 basic_cleaning): drop script/
+    # style/nav/etc. so the later body/whole-doc rescues don't dump chrome
+    from ..options import DEFAULT_OPTIONS
+    from .cleaning import doc_cleaning
+
+    doc_cleaning(doc.body, DEFAULT_OPTIONS)
+
+    # 3. article or story tags
+    articles = select(doc.root, "article, story")
+    for article in articles:
+        text = article.text_content().strip()
+        if len(text) > 100:
+            return normalize_text_output(_paragraphish_text(article)), "baseline_article"
+
+    # 4. paragraph scrape
+    seen: set[str] = set()
+    parts: list[str] = []
+    root = doc.body
+    for el in root.iterdesc():
+        if el.tag not in ("blockquote", "pre", "q", "code", "p"):
+            continue
+        if _should_discard(el):
+            continue
+        if el.parent is not None and _should_discard(el.parent):
+            continue
+        entry = clean_text(el.text_content())
+        if not entry:
+            continue
+        low = entry.lower()
+        if "cookie" in low and "consent" in low:
+            continue
+        if "tracking technolog" in low:
+            continue
+        if entry not in seen:
+            seen.add(entry)
+            parts.append(entry)
+    if parts:
+        text = "\n\n".join(parts)
+        return text, "baseline_rescue"
+
+    # 5. body text
+    body = doc.root.find("body")
+    if body is not None:
+        text = normalize_text_output(body.iter_text_joined("\n"))
+        if len(text) > 100:
+            return text, "baseline_body"
+
+    # 6. whole document
+    return normalize_text_output(doc.root.iter_text_joined("\n")), "baseline_doc"
+
+
+def _paragraphish_text(el: Element) -> str:
+    """Block-aware raw text for the article fallback: blocks separated by
+    blank lines, like the main traversal's separator rule."""
+    parts: list[str] = []
+
+    def visit(e: Element) -> None:
+        if e.tag in ("p", "div", "section", "article", "h1", "h2", "h3",
+                     "h4", "h5", "h6"):
+            parts.append("\n\n")
+        elif e.tag in ("br", "li"):
+            parts.append("\n")
+        if e.text and e.tag not in ("script", "style", "noscript"):
+            parts.append(e.text)
+            parts.append(" ")
+        for child in e.children:
+            visit(child)
+            if child.tail:
+                parts.append(child.tail)
+                parts.append(" ")
+
+    visit(el)
+    return "".join(parts)

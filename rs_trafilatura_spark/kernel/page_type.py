@@ -1,0 +1,231 @@
+"""Page-type classification + per-type extraction profiles.
+
+Stage 1 URL heuristics (reference page_type/mod.rs:375-584, classifier
+:600-655) and stage 2 HTML signals (:666-793, condensed).  The stage-3
+XGBoost ensemble (page_type/ml.rs) is delegated to an external crate in the
+reference; here the two heuristic stages decide and the agreement logic
+(extract.rs:55-92) sets the confidence.
+
+The 7 ExtractionProfiles re-express page_type/mod.rs:99-344.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+from urllib.parse import urlparse
+
+from ..dom import Document, select
+
+ARTICLE = "article"
+FORUM = "forum"
+PRODUCT = "product"
+CATEGORY = "collection"
+LISTING = "listing"
+DOCUMENTATION = "documentation"
+SERVICE = "service"
+
+PAGE_TYPES = (ARTICLE, FORUM, PRODUCT, CATEGORY, LISTING, DOCUMENTATION, SERVICE)
+
+_FORUM_HOSTS = (
+    "forum.", "forums.", "community.", "discuss.", "discussion.", "users.",
+    "bbs.", "reddit.com", "stackoverflow.com", "stackexchange.com",
+    "gamefaqs.", "discourse.", "news.ycombinator.com", "quora.com", "lemmy.",
+)
+_FORUM_PATHS = (
+    "/forum", "/forums/", "/thread/", "/threads/", "/topic/", "/topics/",
+    "/discussion/", "/discussions/", "/community/", "/t/", "/questions/",
+    "/question/", "/comments/", "/talk/", "/viewtopic.php", "/showthread.php",
+    "/item?id=",
+)
+_DOCS_HOSTS = ("docs.", "doc.", "wiki.", "devdocs.", "readthedocs.io",
+               "readthedocs.org", "developer.mozilla.org")
+_DOCS_PATHS = (
+    "/docs/", "/doc/", "/documentation/", "/reference/", "/api/", "/guide/",
+    "/tutorial/", "/tutorials/", "/manual/", "/handbook/", "/wiki/",
+    "/man-pages/", "/man/", "/concepts/", "/userguide/", "/quickstart",
+    "/getting-started", "/book/", "/glossary/",
+)
+_PRODUCT_PATHS = ("/products/", "/product/", "/shop/", "/dp/", "/ip/")
+_PRODUCT_HOSTS = ("shop.", "store.")
+_CATEGORY_PATHS = ("/collections/", "/collection/", "/categories/",
+                   "/category/", "/browse/", "/cat/", "/subcategory/")
+_SERVICE_PATHS = ("/services/", "/service/", "/services.html", "/solutions/",
+                  "/solution/", "/offerings/", "/what-we-do")
+_SERVICE_SUFFIXES = (
+    "-consulting-services", "-development-services", "-management-services",
+    "-support-services", "-outsourcing-services", "-integration-services",
+    "-development-company", "-consulting-company", "-ai-consulting",
+    "-ai-development", "-ai-solutions",
+)
+_LISTING_PATHS = ("/news", "/testimonials", "/coupons", "/issues", "/reviews",
+                  "/rankings", "/awards/", "/trending/", "/list/")
+_ARTICLE_PATHS = ("/blog/", "/blog", "/news/", "/article/", "/articles/",
+                  "/post/", "/posts/", "/insight/", "/insights/",
+                  "/resource/", "/resources/")
+
+
+def classify_url(url: str) -> Optional[str]:
+    """Stage 1: URL pattern tables (page_type/mod.rs:600-655)."""
+    try:
+        parsed = urlparse(url)
+    except ValueError:
+        return None
+    host = (parsed.hostname or "").lower()
+    path = parsed.path.lower() or "/"
+    path_q = path + (f"?{parsed.query.lower()}" if parsed.query else "")
+
+    if any(host.startswith(h) or h in host for h in _FORUM_HOSTS):
+        return FORUM
+    if any(p in path_q for p in _FORUM_PATHS):
+        return FORUM
+    if any(host.startswith(h) or h in host for h in _DOCS_HOSTS):
+        return DOCUMENTATION
+    if any(p in path for p in _DOCS_PATHS):
+        return DOCUMENTATION
+    if any(p in path for p in _PRODUCT_PATHS) or any(host.startswith(h) for h in _PRODUCT_HOSTS):
+        return PRODUCT
+    if any(p in path for p in _CATEGORY_PATHS):
+        return CATEGORY
+    if any(p in path for p in _SERVICE_PATHS) or any(s in path for s in _SERVICE_SUFFIXES):
+        return SERVICE
+    # listing only when the path ENDS with the marker (index pages)
+    if any(path.rstrip("/").endswith(p.rstrip("/")) and p.rstrip("/") for p in _LISTING_PATHS):
+        return LISTING
+    if any(p in path for p in _ARTICLE_PATHS):
+        return ARTICLE
+    return None
+
+
+def refine_with_html_signals(doc: Document, url_type: Optional[str]) -> tuple[str, float]:
+    """Stage 2 HTML signals + agreement logic (page_type/mod.rs:728-793,
+    extract.rs:55-92 condensed).  Returns (page_type, confidence)."""
+    signals: dict[str, float] = {}
+
+    og_type = ""
+    for m in select(doc.root, "meta[property='og:type']"):
+        og_type = (m.get("content") or "").lower()
+        break
+    if og_type == "article":
+        signals[ARTICLE] = signals.get(ARTICLE, 0) + 2
+    elif og_type in ("product", "og:product"):
+        signals[PRODUCT] = signals.get(PRODUCT, 0) + 2
+
+    # JSON-LD types
+    from .metadata import iter_jsonld_objects, _jsonld_types
+    for obj in iter_jsonld_objects(doc):
+        for t in _jsonld_types(obj):
+            if t in ("article", "newsarticle", "blogposting"):
+                signals[ARTICLE] = signals.get(ARTICLE, 0) + 2
+            elif t == "product":
+                signals[PRODUCT] = signals.get(PRODUCT, 0) + 2
+            elif t in ("discussionforumposting", "qapage"):
+                signals[FORUM] = signals.get(FORUM, 0) + 3
+            elif t in ("itemlist", "collectionpage"):
+                signals[CATEGORY] = signals.get(CATEGORY, 0) + 1
+
+    # forum DOM markers
+    if select(doc.root, "[itemtype*='DiscussionForumPosting'], [class*='post-stream'], [id*='discourse']"):
+        signals[FORUM] = signals.get(FORUM, 0) + 3
+
+    # docs markers: code blocks + docs nav
+    n_code = len(select(doc.root, "pre code, pre > code"))
+    if n_code >= 3:
+        signals[DOCUMENTATION] = signals.get(DOCUMENTATION, 0) + 2
+    if select(doc.root, "[class*='docs-sidebar'], [class*='doc-nav'], [class*='toc']"):
+        signals[DOCUMENTATION] = signals.get(DOCUMENTATION, 0) + 1
+
+    # product markers
+    if select(doc.root, "[class*='add-to-cart'], [id*='add-to-cart'], [class*='product-price']"):
+        signals[PRODUCT] = signals.get(PRODUCT, 0) + 2
+
+    html_type = max(signals, key=signals.get) if signals else None
+
+    # agreement logic (extract.rs:55-92)
+    if url_type is not None and html_type is not None:
+        if url_type == html_type:
+            return url_type, 1.0
+        if signals.get(html_type, 0) >= 3:
+            return html_type, 0.95
+        return url_type, 0.8
+    if url_type is not None:
+        return url_type, 0.8
+    if html_type is not None:
+        return html_type, 0.7
+    return ARTICLE, 0.5
+
+
+def classify_page(doc: Document, url: Optional[str]) -> tuple[str, float]:
+    url_type = classify_url(url) if url else None
+    return refine_with_html_signals(doc, url_type)
+
+
+# --- extraction profiles (page_type/mod.rs:99-344) ------------------------------------
+
+
+@dataclass(frozen=True)
+class ExtractionProfile:
+    comments_are_content: bool = False
+    lenient_boilerplate: bool = False
+    content_selectors: tuple[str, ...] = ()
+    preserve_tags: tuple[str, ...] = ()
+    min_paragraph_density: float = 0.0
+    boilerplate_selectors: tuple[str, ...] = ()
+    aggregate_sections: bool = False
+    collect_repeated_items: bool = False
+
+
+PROFILES: dict[str, ExtractionProfile] = {
+    ARTICLE: ExtractionProfile(),
+    FORUM: ExtractionProfile(
+        comments_are_content=True,
+        lenient_boilerplate=True,
+        content_selectors=(
+            "[itemtype*='DiscussionForumPosting']",
+            ".post-stream", "#discourse-topic", ".topic-body",
+            ".thread-posts", ".forum-posts", ".postlist", ".posts",
+        ),
+        boilerplate_selectors=(
+            ".user-info", ".user-card", ".poster-info", ".signature",
+            ".post-signature", ".user-signature",
+        ),
+        aggregate_sections=True,
+    ),
+    PRODUCT: ExtractionProfile(
+        content_selectors=(
+            "[itemtype*='schema.org/Product']", ".product-description",
+            ".product-info", "#product-description", ".product-details",
+        ),
+        boilerplate_selectors=(
+            ".related-products", ".reviews", "#reviews", ".recommendations",
+            ".also-bought", ".cross-sell", ".upsell",
+        ),
+    ),
+    CATEGORY: ExtractionProfile(
+        lenient_boilerplate=True,
+        content_selectors=(".category-description", ".collection-description"),
+        collect_repeated_items=True,
+    ),
+    LISTING: ExtractionProfile(
+        lenient_boilerplate=True,
+        collect_repeated_items=True,
+    ),
+    DOCUMENTATION: ExtractionProfile(
+        content_selectors=(
+            "[role='main']", ".docs-content", ".markdown-body",
+            "#main-content", ".document", ".rst-content",
+        ),
+        preserve_tags=("pre", "code"),
+        boilerplate_selectors=(
+            ".docs-sidebar", ".sidebar-nav", ".version-picker", ".breadcrumbs",
+        ),
+    ),
+    SERVICE: ExtractionProfile(
+        lenient_boilerplate=True,
+        aggregate_sections=True,
+    ),
+}
+
+
+def profile_for(page_type: str) -> ExtractionProfile:
+    return PROFILES.get(page_type, PROFILES[ARTICLE])

@@ -1,0 +1,242 @@
+"""Filtered text traversal — this defines the byte-exact output.
+
+Re-expresses the reference's live text emitter (extract.rs:2331-2670):
+pre-order walk; header/footer excluded unless inside article/main;
+hard-excluded tags; always-excluded and boilerplate class/id tokens;
+BreadcrumbList itemtype; table link-density + layout handling; div/ul/ol
+link-density skip; heading/p/div share-button filters; h1==page-title dedup;
+"\n\n" per block tag, "\n" per br/li; text nodes emitted with a trailing
+space; then the pending-space normalization state machine.
+
+Skipped subtrees keep their tails: in the reference the skip_depths stack
+skips nodes strictly deeper than the skipped element, and the tail is a
+sibling text node at the same depth.
+
+Span offsets (north rule "extracted text + span offsets"): every element
+whose own text is emitted contributes (start, end, kind) char offsets into
+the decoded source html, recorded from parse positions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..dom import Element
+from ..functions.textnorm import normalize_text_output, titles_match
+from ..options import Options
+from .boilerplate import (
+    is_always_excluded_name,
+    is_boilerplate,
+    is_share_button_text,
+)
+from .link_density import link_density_test, link_density_test_tables
+from .tables import extract_table_text, is_layout_table
+from .tags import BLOCK_SEPARATOR_TAGS, EXCLUDED_TRAVERSAL_TAGS, HEADING_TAGS
+
+_RAW_TEXT_TAGS = frozenset({"script", "style", "noscript"})
+_HEADING_TITLE_CLASSES = (
+    "entry-title", "post-title", "article-title", "story-title",
+    "pg-headline", "headline",
+)
+
+
+def _element_excluded(
+    el: Element,
+    inside_article_main: bool,
+    filter_named_boilerplate: bool,
+    comments_are_content: bool,
+) -> bool:
+    """Own-attribute exclusion checks; ancestors were validated on descent."""
+    tag = el.tag
+    if tag == "header":
+        if not inside_article_main:
+            return True
+    elif tag == "footer":
+        cls = el.get("class")
+        if cls and is_boilerplate(cls, comments_are_content):
+            return True
+        if not inside_article_main:
+            return True
+    elif tag in EXCLUDED_TRAVERSAL_TAGS:
+        return True
+
+    cls = el.get("class")
+    id_ = el.get("id")
+    if cls and is_always_excluded_name(cls):
+        return True
+    if id_ and is_always_excluded_name(id_):
+        return True
+    if filter_named_boilerplate:
+        if cls and is_boilerplate(cls, comments_are_content):
+            return True
+        if id_ and is_boilerplate(id_, comments_are_content):
+            return True
+    itemtype = el.get("itemtype")
+    if itemtype and "breadcrumblist" in itemtype.lower():
+        return True
+    return False
+
+
+def extract_filtered_text(
+    root: Element,
+    opts: Options,
+    filter_named_boilerplate: bool = True,
+    page_title: Optional[str] = None,
+    comments_are_content: bool = False,
+) -> tuple[str, list[tuple[int, int, str]]]:
+    """Return (normalized text, [(start, end, kind)] source spans)."""
+    out: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+
+    def emit_text(el: Element, text: str) -> None:
+        out.append(text)
+        out.append(" ")
+        if el._srcpos is not None and text.strip():
+            start, end = el._srcpos
+            spans.append((start, max(end, start), el.tag))
+
+    def visit(el: Element, inside_am: bool) -> None:
+        tag = el.tag
+        if _element_excluded(el, inside_am, filter_named_boilerplate,
+                             comments_are_content):
+            return
+
+        if tag == "table":
+            if link_density_test_tables(el):
+                return
+            if not opts.include_tables:
+                return
+            if not is_layout_table(el):
+                table_text = extract_table_text(el)
+                if table_text:
+                    out.append("\n\n")
+                    out.append(table_text)
+                    out.append("\n\n")
+                    if el._srcpos is not None:
+                        spans.append((el._srcpos[0], max(el._srcpos[1], el._srcpos[0]), "table"))
+                return
+            # layout table: fall through, traverse children normally
+
+        if tag in ("div", "ul", "ol") and link_density_test(el, opts.favor_precision):
+            return
+
+        is_heading = tag in HEADING_TAGS
+        if is_heading:
+            heading_text = el.iter_text_joined(" ").strip()
+            if is_share_button_text(heading_text):
+                return
+            cls_low = el.get("class").lower()
+            if any(m in cls_low for m in _HEADING_TITLE_CLASSES):
+                return
+            if el.get("itemprop").lower() == "headline":
+                return
+            if tag == "h1" and page_title and titles_match(heading_text, page_title):
+                return
+
+        if tag == "p":
+            p_text = el.iter_text_joined(" ").strip()
+            if len(p_text) < 50 and is_share_button_text(p_text):
+                return
+        elif tag == "div":
+            div_text = el.iter_text_joined(" ").strip()
+            if len(div_text) < 80 and is_share_button_text(div_text):
+                return
+
+        if tag in BLOCK_SEPARATOR_TAGS or is_heading:
+            out.append("\n\n")
+        elif tag in ("br", "li"):
+            out.append("\n")
+
+        next_inside = inside_am or tag in ("article", "main")
+
+        if el.text and tag not in _RAW_TEXT_TAGS:
+            emit_text(el, el.text)
+        for child in el.children:
+            visit(child, next_inside)
+            if child.tail:
+                # tail belongs to this element's level; emitted regardless of
+                # whether the child subtree was skipped
+                out.append(child.tail)
+                out.append(" ")
+
+    root_inside = root.tag in ("article", "main")
+    if root.text and root.tag not in _RAW_TEXT_TAGS:
+        emit_text(root, root.text)
+    for child in root.children:
+        visit(child, root_inside)
+        if child.tail:
+            out.append(child.tail)
+            out.append(" ")
+
+    text = normalize_text_output("".join(out))
+    return text, spans
+
+
+# --- filtered HTML emitter (extract.rs:2680-2894, simplified) ---------------------
+
+_HTML_WHITELIST = frozenset(
+    {
+        "a", "article", "b", "blockquote", "br", "caption", "code", "div",
+        "em", "figcaption", "h1", "h2", "h3", "h4", "h5", "h6", "i", "li",
+        "ol", "p", "pre", "q", "section", "span", "strong", "sub", "sup",
+        "table", "tbody", "td", "tfoot", "th", "thead", "tr", "ul",
+    }
+)
+_KEPT_ATTRS = {"a": ("href",), "td": ("colspan", "rowspan"),
+               "th": ("colspan", "rowspan"), "code": ("class",)}
+
+
+def extract_filtered_html(
+    root: Element,
+    opts: Options,
+    filter_named_boilerplate: bool = True,
+    comments_are_content: bool = False,
+) -> str:
+    """Whitelisted-tag HTML of the content subtree, applying the same
+    exclusion rules as the text path."""
+    from ..dom import escape_attr, escape_text
+
+    out: list[str] = []
+
+    def visit(el: Element, inside_am: bool) -> None:
+        if _element_excluded(el, inside_am, filter_named_boilerplate,
+                             comments_are_content):
+            return
+        tag = el.tag
+        if tag == "table" and (link_density_test_tables(el) or not opts.include_tables):
+            return
+        if tag in ("div", "ul", "ol") and link_density_test(el, opts.favor_precision):
+            return
+        keep = tag in _HTML_WHITELIST
+        if keep:
+            attrs = ""
+            if not opts.include_links and tag == "a":
+                keep = False  # unwrap links when disabled
+            else:
+                for k in _KEPT_ATTRS.get(tag, ()):
+                    v = el.get(k)
+                    if v:
+                        attrs += f' {k}="{escape_attr(v)}"'
+        if keep:
+            if tag == "br":
+                out.append("<br/>")
+            else:
+                out.append(f"<{tag}{attrs}>")
+        if el.text and tag not in _RAW_TEXT_TAGS:
+            out.append(escape_text(el.text))
+        next_inside = inside_am or tag in ("article", "main")
+        for child in el.children:
+            visit(child, next_inside)
+            if child.tail:
+                out.append(escape_text(child.tail))
+        if keep and tag != "br":
+            out.append(f"</{tag}>")
+
+    root_inside = root.tag in ("article", "main")
+    if root.text and root.tag not in _RAW_TEXT_TAGS:
+        out.append(escape_text(root.text))
+    for child in root.children:
+        visit(child, root_inside)
+        if child.tail:
+            out.append(escape_text(child.tail))
+    return "".join(out).strip()
