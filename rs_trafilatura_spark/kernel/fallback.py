@@ -37,7 +37,9 @@ def baseline(doc: Document) -> tuple[str, str]:
     from ..options import DEFAULT_OPTIONS
     from .cleaning import doc_cleaning
 
-    doc_cleaning(doc.body, DEFAULT_OPTIONS)
+    # clean from the root so <head> (title/meta) can't leak into the
+    # body-text / whole-doc rescues (head is in TAGS_TO_CLEAN)
+    doc_cleaning(doc.root, DEFAULT_OPTIONS)
 
     # 3. article or story tags
     articles = select(doc.root, "article, story")

@@ -1,0 +1,113 @@
+"""Golden end-to-end gate (FIXTURES.md §2): deterministic synthetic corpus
+-> Spark extraction job -> join on url -> BYTE-IDENTICAL text per row, plus
+per-family metadata assertions and checkpoint/resume behavior.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rs_trafilatura_spark.datagen import (
+    generate_expected_meta_df,
+    generate_pages_df,
+)
+from rs_trafilatura_spark.options import Options
+from rs_trafilatura_spark.plans import run_extraction, stage_metrics
+
+N_ROWS = 200
+OPTS = Options(deduplicate=True)
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    pages = generate_pages_df(spark, N_ROWS)
+    out = run_extraction(spark, pages, OPTS)
+    out.cache()
+    yield out
+    out.unpersist()
+
+
+def test_byte_identical_text(spark, extracted):
+    pages = generate_pages_df(spark, N_ROWS).select("url", "text")
+    joined = extracted.select("url", "content_text").join(pages, "url", "inner")
+    assert joined.count() == N_ROWS
+    mismatches = joined.filter(
+        ~(F.col("content_text").eqNullSafe(F.col("text")))
+    )
+    bad = mismatches.limit(3).collect()
+    assert not bad, f"byte mismatch for: {[r['url'] for r in bad]}"
+
+
+def test_stage_and_metadata(spark, extracted):
+    meta = generate_expected_meta_df(spark, N_ROWS)
+    joined = extracted.join(meta, "url", "inner").cache()
+    assert joined.count() == N_ROWS
+
+    stage_bad = joined.filter(F.col("stage") != F.col("exp_stage")).count()
+    assert stage_bad == 0
+
+    ptype_bad = joined.filter(
+        ~F.col("page_type").eqNullSafe(F.col("exp_page_type"))
+    ).count()
+    assert ptype_bad == 0
+
+    author_bad = joined.filter(
+        F.col("exp_author").isNotNull()
+        & ~F.col("author").eqNullSafe(F.col("exp_author"))
+    ).count()
+    assert author_bad == 0
+
+    date_bad = joined.filter(
+        F.col("exp_date").isNotNull()
+        & ~F.col("date").eqNullSafe(F.col("exp_date"))
+    ).count()
+    assert date_bad == 0
+
+    lang_bad = joined.filter(
+        ~F.col("language").eqNullSafe(F.col("exp_language"))
+    ).count()
+    assert lang_bad == 0
+    joined.unpersist()
+
+
+def test_stage_metrics_shape(extracted):
+    rows = stage_metrics(extracted).collect()
+    stages = {r["stage"] for r in rows}
+    assert "main" in stages
+    assert sum(r["n_pages"] for r in rows) == N_ROWS
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from rs_trafilatura_spark.sources import (
+        completed_chunks,
+        read_output,
+        run_extraction_checkpointed,
+    )
+
+    out_dir = str(tmp_path / "out")
+    pages = generate_pages_df(spark, 60)
+    s1 = run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=4)
+    assert s1["chunks_run"] == 4 and s1["chunks_skipped"] == 0
+    assert len(completed_chunks(out_dir)) == 4
+
+    # wipe one chunk's manifest -> only that chunk re-runs
+    os.remove(os.path.join(out_dir, "_manifest", "chunk-2.json"))
+    s2 = run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=4)
+    assert s2["chunks_run"] == 1 and s2["chunks_skipped"] == 3
+
+    total = read_output(spark, out_dir).count()
+    assert total == 60
+
+    # manifest carries lineage + stage metrics
+    entry = completed_chunks(out_dir)[2]
+    assert entry["rows"] > 0
+    assert entry["input_fingerprint"]
+    assert isinstance(entry["stages"], dict) and entry["stages"]
+    assert entry["wall_time_sec"] >= 0
+
+
+def test_output_schema_stable(extracted):
+    from rs_trafilatura_spark.plans import OUTPUT_SCHEMA
+
+    assert extracted.schema == OUTPUT_SCHEMA
