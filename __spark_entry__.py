@@ -1,38 +1,350 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship extraction round-trip on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data-pipeline operators); each callable (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query.
+
+Extraction correctness trick: ``documents.text`` is clean single-spaced
+prose, so wrapping it in article HTML and running the FULL extraction
+cascade must return the text byte-identically — giving the per-document
+kernel a DuckDB-checkable oracle (`SELECT ... text FROM documents`).
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+
+_EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (the spark-submit
+    --py-files mechanism, applied at runtime since the driver owns the
+    session).  Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_SHIPPED:
+        return
+    zip_path = os.path.join("/tmp", f"rs_trafilatura_spark_{os.getpid()}.zip")
+    if not os.path.exists(zip_path):
+        pkg_dir = os.path.join(_REPO_DIR, "rs_trafilatura_spark")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for name in files:
+                    if name.endswith(".py"):
+                        full = os.path.join(root, name)
+                        rel = os.path.relpath(full, _REPO_DIR)
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _PYFILES_SHIPPED.add(key)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _synth_url():
+    return F.concat(F.lit("https://docs.example/blog/doc-"),
+                    F.col("doc_id").cast("string"))
+
+
+def _wrap_roundtrip(documents: DataFrame) -> DataFrame:
+    """Template A: article page around the document text (binary html)."""
+    html = F.concat(
+        F.lit('<!doctype html><html lang="'), F.col("lang"),
+        F.lit('"><head><title>Doc '), F.col("doc_id").cast("string"),
+        F.lit(" - Docs Example</title></head><body>"
+              '<nav class="main-nav"><a href="/">Home</a> '
+              '<a href="/blog">Blog</a></nav>'
+              "<article><p>"),
+        F.col("text"),
+        F.lit("</p></article>"
+              '<footer class="site-footer">© docs.example</footer>'
+              "</body></html>"),
+    )
+    return documents.select(
+        _synth_url().alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _wrap_metadata(documents: DataFrame) -> DataFrame:
+    """Template B: rich <head> whose metadata derives from table columns."""
+    ts = F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id") * 60)
+    iso = F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z"))
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit(' - Meta Site</title><meta name="author" content="Author '),
+        F.col("source"),
+        F.lit('"><meta property="og:site_name" content="Meta Site">'
+              '<meta property="article:published_time" content="'),
+        iso,
+        F.lit('"></head><body><article><p>'),
+        F.col("text"),
+        F.lit("</p></article></body></html>"),
+    )
+    return documents.select(
+        _synth_url().alias("url"),
+        ts.alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _run_kernel(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.plans import run_extraction
+
+    return run_extraction(spark, pages, target_partitions=8)
+
+
+# --- query functions -------------------------------------------------------------
+
+
+def q_extract_roundtrip(spark, sf_dir):
+    out = _run_kernel(spark, _wrap_roundtrip(_docs(spark, sf_dir)))
+    return out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        F.col("language").alias("lang"),
+        F.col("title").alias("title"),
+    )
+
+
+def q_extract_metadata(spark, sf_dir):
+    out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
+    return out.select(
+        "url",
+        F.col("author"),
+        F.col("date"),
+        F.col("sitename"),
+    )
+
+
+def q_extract_stage_metrics(spark, sf_dir):
+    from rs_trafilatura_spark.plans import stage_metrics
+
+    out = _run_kernel(spark, _wrap_roundtrip(_docs(spark, sf_dir)))
+    return stage_metrics(out).select("stage", "n_pages")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from rs_trafilatura_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    from rs_trafilatura_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_language_id(spark, sf_dir):
+    from rs_trafilatura_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    from rs_trafilatura_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    from rs_trafilatura_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from rs_trafilatura_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(spark, sf_dir))
+
+
+def _query_vec(spark, sf_dir):
+    row = (
+        _embs(spark, sf_dir).filter(F.col("vec_id") == 0)
+        .select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_embedding_topk(spark, sf_dir):
+    from rs_trafilatura_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir),
+                       k=10, exclude_id=0)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from rs_trafilatura_spark.operators.similarity import ann_topk
+
+    return ann_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def q_multimodal_image_meta(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.multimodal import (
+        documents_as_fake_images,
+        extract_image_metadata,
+    )
+
+    return extract_image_metadata(
+        documents_as_fake_images(_docs(spark, sf_dir))
+    ).select("doc_id", "byte_len", "fake_width", "fake_height")
+
+
+# --- contract -----------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction cascade round-trip on sf0.001."""
+    return q_extract_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_roundtrip": q_extract_roundtrip,
+        "extract_metadata": q_extract_metadata,
+        "extract_stage_metrics": q_extract_stage_metrics,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh_pairs": q_minhash_lsh,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_topk": q_embedding_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "multimodal_image_meta": q_multimodal_image_meta,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _stop_cases(lang: str) -> str:
+    from rs_trafilatura_spark.operators.textstats import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({stops})))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en, de, fr, es = (_stop_cases(l) for l in ("en", "de", "fr", "es"))
+    return {
+        "extract_roundtrip": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "text, lang, 'Doc ' || doc_id AS title FROM documents"
+        ),
+        "extract_metadata": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "'Author ' || source AS author, "
+            "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS date, "
+            "'Meta Site' AS sitename FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
+            "FROM documents GROUP BY text"
+        ),
+        "token_stats": (
+            "SELECT doc_id, "
+            "len(string_split(text, ' ')) AS token_cnt, "
+            "length(text) AS char_cnt, "
+            "len(list_distinct(string_split(text, ' '))) AS distinct_cnt, "
+            "CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) "
+            "/ len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_x1000 "
+            "FROM documents"
+        ),
+        "language_id": (
+            f"SELECT doc_id, {en} AS en_hits, {de} AS de_hits, "
+            f"{fr} AS fr_hits, {es} AS es_hits, "
+            f"CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en' "
+            f"WHEN {de} >= {fr} AND {de} >= {es} THEN 'de' "
+            f"WHEN {fr} >= {es} THEN 'fr' ELSE 'es' END AS lang_guess "
+            "FROM documents"
+        ),
+        "quality_score": (
+            "SELECT doc_id, "
+            "len(string_split(text, ' ')) AS token_cnt, "
+            f"CAST(floor(1000.0 * {en} / len(string_split(text, ' '))) AS BIGINT) "
+            "AS stop_ratio_x1000, "
+            "CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) "
+            "/ len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_x1000, "
+            "CAST(floor(length(text) * 1.0 / len(string_split(text, ' '))) AS BIGINT) "
+            "AS avg_token_len_x1, "
+            "CAST(len(string_split(text, ' ')) >= 20 AS INT) + "
+            "CAST(len(list_distinct(string_split(text, ' '))) * 1000 "
+            "/ len(string_split(text, ' ')) >= 300 AS INT) AS quality_flags "
+            "FROM documents"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "ngram_jaccard": (
+            "WITH w AS (SELECT doc_id, source, "
+            "list_distinct(string_split(text, ' ')) AS words FROM documents) "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(floor(1000.0 * len(list_intersect(a.words, b.words)) / "
+            "(len(a.words) + len(b.words) - len(list_intersect(a.words, b.words)))) "
+            "AS BIGINT) AS jac_x1000 "
+            "FROM w a JOIN w b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE 1000.0 * len(list_intersect(a.words, b.words)) / "
+            "(len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) "
+            ">= 100"
+        ),
+        "embedding_topk": (
+            "SELECT vec_id, CAST(floor(1000 * "
+            "list_dot_product(embedding::DOUBLE[], q.qv) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_x1000 "
+            "FROM embeddings, "
+            "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
+            "WHERE vec_id != 0 "
+            "ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+        ),
+        "multimodal_image_meta": (
+            "SELECT doc_id, length(text) AS byte_len, "
+            "length(text) % 1024 AS fake_width, "
+            "(length(text) * 7) % 768 AS fake_height FROM documents"
+        ),
+        # extract_stage_metrics, minhash_lsh_pairs, simhash_near_dups,
+        # ann_lsh_topk: engine-internal semantics, rows-only check.
+    }

@@ -1,0 +1,92 @@
+"""Text-analysis operators over a documents table — language-ID, quality
+scoring, token counting, fingerprinting.  All Spark-native (JVM-side,
+whole-stage codegen); no Python in the hot path.  Integer-scaled ratios
+(floor(x*1000)) keep results bit-comparable against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny deterministic stoplists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "une", "est", "que", "pour", "dans", "vous"),
+    "es": ("el", "los", "las", "y", "una", "es", "por", "como", "para", "del"),
+}
+
+
+def _hits(lang: str):
+    stops = STOPWORDS[lang]
+    return F.size(
+        F.filter(F.split(F.col("text"), " "), lambda x: x.isin(*stops))
+    )
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + char count + distinct-token ratio."""
+    words = F.split(F.col("text"), " ")
+    return documents.select(
+        F.col("doc_id"),
+        F.size(words).alias("token_cnt"),
+        F.length("text").alias("char_cnt"),
+        F.size(F.array_distinct(words)).alias("distinct_cnt"),
+        F.floor(
+            F.lit(1000) * F.size(F.array_distinct(words)) / F.size(words)
+        ).cast("long").alias("uniq_ratio_x1000"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Stopword-hit language guess (deterministic argmax, en>de>fr>es
+    tie-break)."""
+    df = documents.select(
+        "doc_id",
+        _hits("en").alias("en_hits"),
+        _hits("de").alias("de_hits"),
+        _hits("fr").alias("fr_hits"),
+        _hits("es").alias("es_hits"),
+    )
+    guess = (
+        F.when(
+            (F.col("en_hits") >= F.col("de_hits"))
+            & (F.col("en_hits") >= F.col("fr_hits"))
+            & (F.col("en_hits") >= F.col("es_hits")),
+            F.lit("en"),
+        )
+        .when(
+            (F.col("de_hits") >= F.col("fr_hits"))
+            & (F.col("de_hits") >= F.col("es_hits")),
+            F.lit("de"),
+        )
+        .when(F.col("fr_hits") >= F.col("es_hits"), F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn("lang_guess", guess)
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / uniqueness quality signals, integer-scaled."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    return documents.select(
+        "doc_id",
+        n.alias("token_cnt"),
+        F.floor(F.lit(1000) * _hits("en") / n).cast("long").alias("stop_ratio_x1000"),
+        F.floor(F.lit(1000) * F.size(F.array_distinct(words)) / n)
+        .cast("long")
+        .alias("uniq_ratio_x1000"),
+        F.floor(F.length("text") / n).cast("long").alias("avg_token_len_x1"),
+        (
+            (n >= 20).cast("int")
+            + (F.size(F.array_distinct(words)) * 1000 / n >= 300).cast("int")
+        ).alias("quality_flags"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint (md5 hex of the text)."""
+    return documents.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+    )
