@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline extraction throughput + operator timings.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "pages_per_sec": ..., "n_pages": ..., "cpus": ...}
+
+The extraction corpus is the deterministic synthetic fixture mix
+(FIXTURES.md), materialized in parallel once and cached under /tmp, so
+repeated runs (and the N-vs-4N scaling comparison in
+scripts/scaling_bench.py) see identical input.  A small warmup batch runs
+first so the timed number is steady-state throughput (Python workers
+forked, package imported, regexes compiled) rather than JVM/worker
+startup.  BENCH_PAGES overrides the page count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("BENCH_PAGES", "100000"))
+SEED = 42
+# one split per ~0.5MB corpus file -> cores*4 partitions -> smooth task waves
+FINE_SPLIT = str(512 * 1024)
+
+
+def main() -> None:
+    from rs_trafilatura_spark.datagen.corpus import materialize_corpus
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans import run_extraction
+    from rs_trafilatura_spark.session import get_spark, MAX_PARTITION_BYTES
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(parallelism=CPUS, driver_memory="48g")
+    entry_mod._ensure_pyfiles(spark)
+
+    corpus = f"/tmp/rs_traf_bench_corpus_{N_PAGES}_{SEED}"
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        materialize_corpus(spark, corpus, N_PAGES, SEED, partitions=CPUS * 4)
+
+    opts = Options(deduplicate=True)
+    timings: dict[str, float] = {}
+
+    # fine splits ONLY for the small-file bench corpus (production files are
+    # ~1 GB; the session default 32 MB maxPartitionBytes gives the same
+    # byte-bounded task balance there)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", FINE_SPLIT)
+    spark.conf.set("spark.sql.files.openCostInBytes", str(64 * 1024))
+    pages = spark.read.parquet(corpus)
+
+    # warmup: fork workers, import the package, compile regexes
+    run_extraction(spark, pages.limit(2000).repartition(CPUS), opts,
+                   target_partitions=CPUS).groupBy("stage").count().collect()
+
+    t0 = time.time()
+    out = run_extraction(spark, pages, opts, target_partitions=CPUS * 3)
+    stage_counts = out.groupBy("stage").count().collect()
+    t_extract = time.time() - t0
+    timings["extract_pipeline"] = round(t_extract, 3)
+    n_pages = sum(r["count"] for r in stage_counts)
+
+    # operator benches at the sf dir, with the normal session split config
+    spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
+    spark.conf.unset("spark.sql.files.openCostInBytes")
+    q = entry_mod.queries()
+    for name in ("extract_roundtrip", "dedup_exact", "minhash_lsh_pairs",
+                 "ngram_jaccard", "embedding_topk", "language_id"):
+        t0 = time.time()
+        df = q[name](spark, SF_DIR)
+        if name == "embedding_topk":
+            df.collect()
+        else:
+            df.select(F.count(F.lit(1))).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "extraction+operators wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        "pages_per_sec": round(n_pages / t_extract, 1),
+        "n_pages": n_pages,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -29,8 +29,8 @@ _WORDS = (
 ).split()
 
 _FAMILIES = (
-    ("article_plain", 22),
-    ("article_boilerplate", 12),
+    ("article_plain", 20),
+    ("article_boilerplate", 11),
     ("main_only", 6),
     ("heuristic_div", 6),
     ("entry_content", 6),
@@ -42,6 +42,10 @@ _FAMILIES = (
     ("forum_thread", 5),
     ("docs_page", 4),
     ("product_page", 4),
+    ("listing_page", 4),
+    ("category_page", 3),
+    ("service_page", 3),
+    ("split_body", 3),
     ("short_fallback", 2),
     ("boilerplate_only", 2),
 )
@@ -57,6 +61,8 @@ _SECTION = {
     "docs_page": "docs",
     "product_page": "products",
     "jsonld_body": "news",
+    "category_page": "category",
+    "service_page": "services",
 }
 
 
@@ -337,9 +343,10 @@ def _fam_docs_page(rnd, title, site):
 
 
 def _fam_product_page(rnd, title, site):
-    dom_desc = _paragraphs(rnd, 3, sentences=3)  # >= 60 words
-    extra = " ".join(_sentence(rnd) for _ in range(4))
-    jsonld_desc = " ".join(dom_desc) + " " + extra
+    # thin DOM teaser (<100 chars) -> the reference's product-description
+    # fallback fires (dom_too_short, extract.rs:292-318)
+    teaser = "In stock and ships in two days."
+    jsonld_desc = " ".join(_sentence(rnd) for _ in range(7))
     head = (
         '<script type="application/ld+json">'
         '{"@context":"https://schema.org","@type":"Product",'
@@ -348,13 +355,76 @@ def _fam_product_page(rnd, title, site):
     )
     body = (
         _NAV
-        + f'<div class="product-description"><h1>{title}</h1>{_ps(dom_desc)}</div>'
-        + '<div class="reviews"><p>Five stars, would buy again, etc.</p></div>'
-        + '<div class="related-products"><a href="/p/2">Other thing</a></div>'
+        + f'<div class="product-description"><p>{teaser}</p></div>'
+        + '<div class="related-products reviews">Five stars, would buy again.</div>'
         + _footer(site)
     )
     return _page(title, site, body, head_extra=head), jsonld_desc, {
         "stage": "jsonld_product", "language": "en", "page_type": "product"}
+
+
+def _fam_listing_page(rnd, title, site):
+    # each card > 1000 chars so find_content picks ONE article, and the
+    # repeated-item pass (2x rule, extract.rs:252-266) must fire
+    cards = [" ".join(_sentence(rnd) for _ in range(16)) for _ in range(6)]
+    card_html = "".join(
+        f'<article class="news-card"><p>{c}</p></article>' for c in cards
+    )
+    body = _NAV + f"<main>{card_html}</main>" + _footer(site)
+    return _page(title, site, body), "\n\n".join(cards), {
+        "stage": "repeated_items", "language": "en", "page_type": "listing"}
+
+
+def _fam_category_page(rnd, title, site):
+    desc = " ".join(_sentence(rnd) for _ in range(6))  # > 100 chars, > 50 words
+    grid = "".join(
+        f'<div class="grid-item"><a href="/p/{k}">{rnd.choice(_WORDS)}</a></div>'
+        for k in range(12)
+    )
+    body = (
+        _NAV
+        + f'<div class="category-description"><p>{desc}</p></div>'
+        + f'<div class="product-grid">{grid}</div>'
+        + _footer(site)
+    )
+    return _page(title, site, body), desc, {
+        "stage": "main", "language": "en", "page_type": "collection"}
+
+
+def _fam_service_page(rnd, title, site):
+    # three sections with strictly decreasing content so candidate scores
+    # are strictly ordered -> deterministic merge order (extract.rs:644-768)
+    secs = [
+        _paragraphs(rnd, n, sentences=3) for n in (5, 4, 3)
+    ]
+    sec_html = "".join(
+        f'<div class="section-block">{_ps(paras)}</div>' for paras in secs
+    )
+    body = _NAV + sec_html + _footer(site)
+    # merge candidates carry clean_text(text_content): paragraphs collapse
+    # to one whitespace-normalized block per section
+    golden = "\n\n".join(" ".join(paras) for paras in secs)
+    return _page(title, site, body), golden, {
+        "stage": "merge", "language": "en", "page_type": "service"}
+
+
+def _fam_split_body(rnd, title, site):
+    # chunk1 > 1000 chars so rule 1 selects it alone; the merge then stitches
+    # chunk2 back (1.2x-4x window, extract.rs:1690-1710)
+    chunk1 = _paragraphs(rnd, 6)
+    chunk2 = _paragraphs(rnd, 3)
+    body = (
+        _NAV
+        + "<article>"
+        + f'<div class="article__body">{_ps(chunk1)}</div>'
+        + '<aside class="ad-slot">Advertisement block text here.</aside>'
+        + f'<div class="article__body">{_ps(chunk2)}</div>'
+        + "</article>"
+        + _footer(site)
+    )
+    golden = "\n\n".join(chunk1 + chunk2)
+    return _page(title, site, body), golden, {
+        "stage": "split_body", "language": "en", "page_type": "article"}
 
 
 def _fam_short_fallback(rnd, title, site):
@@ -382,6 +452,10 @@ def _fam_boilerplate_only(rnd, title, site):
 
 
 _BUILDERS = {
+    "split_body": _fam_split_body,
+    "listing_page": _fam_listing_page,
+    "category_page": _fam_category_page,
+    "service_page": _fam_service_page,
     "article_plain": _fam_article_plain,
     "article_boilerplate": _fam_article_boilerplate,
     "main_only": _fam_main_only,
@@ -408,9 +482,13 @@ def generate_row(i: int, seed: int = 42) -> dict:
     host = f"www.site{host_rank:03d}.example"
     site = f"Site {host_rank:03d}"
     title = _title(rnd)
-    section = _SECTION.get(family, "blog")
     slug = "-".join(rnd.choice(_WORDS) for _ in range(3))
-    url = f"https://{host}/{section}/{slug}-{i:06d}"
+    if family == "listing_page":
+        # listing heuristics fire on path SUFFIX (page_type/mod.rs listing table)
+        url = f"https://{host}/{slug}-{i:06d}/news"
+    else:
+        section = _SECTION.get(family, "blog")
+        url = f"https://{host}/{section}/{slug}-{i:06d}"
 
     html, golden, meta = _BUILDERS[family](rnd, title, site)
     if isinstance(html, str):
@@ -476,6 +554,34 @@ def generate_expected_meta_df(spark, n_rows: int, seed: int = 42):
     cols = [f.name for f in schema.fields]
     rows = [tuple(r[c] for c in cols) for r in generate_rows(n_rows, seed)]
     return spark.createDataFrame(rows, schema)
+
+
+def materialize_corpus(spark, path: str, n_rows: int, seed: int = 42,
+                       partitions: int = 32) -> None:
+    """Generate the corpus IN PARALLEL on executors (generation is a pure
+    function of (seed, id), so it distributes trivially) and write parquet.
+    This is how the bench corpus is built — driver-side generation would
+    serialize on one core."""
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in _INPUT_COLUMNS}
+            )
+
+    ids = spark.range(0, n_rows, 1, partitions)
+    ids.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(path)
 
 
 def write_parquet_corpus(path: str, n_rows: int, seed: int = 42,

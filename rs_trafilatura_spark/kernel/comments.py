@@ -1,0 +1,51 @@
+"""Comments extraction (reference extract.rs:3568-3636): id probes, class
+probes, then the largest COMMENT_CLASS/COMMENT_ID match by cleaned length."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..dom import Document, Element, select, select_first
+from ..functions.textnorm import clean_text
+from ..options import Options
+from .patterns import COMMENT_CLASS, COMMENT_ID
+from .traversal import extract_filtered_text
+
+_ID_PROBES = ("comments", "comment-section", "disqus_thread", "respond", "discussion")
+_CLASS_PROBES = ("comments", "comment-list", "respond", "discussion", "disqus",
+                 "fb-comments")
+
+
+def find_comment_section(doc: Document) -> Optional[Element]:
+    for id_ in _ID_PROBES:
+        el = select_first(doc.root, f"#{id_}")
+        if el is not None:
+            return el
+    for cls in _CLASS_PROBES:
+        el = select_first(doc.root, f".{cls}")
+        if el is not None:
+            return el
+    best: Optional[Element] = None
+    best_len = 0
+    for el in doc.body.iterdesc():
+        id_, cls = el.get("id"), el.get("class")
+        if not ((id_ and COMMENT_ID.match(id_)) or (cls and COMMENT_CLASS.search(cls))):
+            continue
+        n = len(clean_text(el.text_content()))
+        if n > best_len:
+            best_len, best = n, el
+    return best
+
+
+def extract_comments(doc: Document, opts: Options) -> Optional[str]:
+    """Comment text via the filtered traversal with comment classes treated
+    as content; dropped below min_output_comm_size (extract.rs:1123-1133)."""
+    section = find_comment_section(doc)
+    if section is None:
+        return None
+    text, _spans = extract_filtered_text(
+        section, opts, filter_named_boilerplate=True, comments_are_content=True
+    )
+    if len(text) < opts.min_output_comm_size:
+        return None
+    return text

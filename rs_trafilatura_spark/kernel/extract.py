@@ -28,7 +28,7 @@ from .metadata import (
     find_jsonld_article_body,
     find_jsonld_product_description,
 )
-from .page_type import PRODUCT, classify_page, profile_for
+from .page_type import CATEGORY, PRODUCT, classify_page, profile_for
 from .quality import compute_extraction_quality
 from .traversal import extract_filtered_text, extract_filtered_html
 
@@ -149,6 +149,19 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
                 text, spans = relaxed_text, relaxed_spans
                 stage = "relaxed_boilerplate"
 
+    # split-article-body merge (extract.rs:1512-1727)
+    if content_node is not None and text:
+        from .splitbody import maybe_merge_split_bodies
+
+        merged = maybe_merge_split_bodies(
+            content_node, opts, text,
+            page_title=page_title,
+            comments_are_content=comments_are_content,
+            relaxed=(stage == "relaxed_boilerplate"),
+        )
+        if merged is not None:
+            text, spans, stage = merged, [], "split_body"
+
     # body fallback when no node selected
     if content_node is None:
         text, spans = run(body)
@@ -179,8 +192,53 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
             stage = cand_stage
             warnings.append("Used fallback extraction")
 
-    # 10. structured-data preference (extract.rs:322-372): JSON-LD body wins
-    #     when DOM failed or the structured body is 2x larger
+    # 10. per-type post passes (extract.rs:231-318)
+    # 10a. multi-candidate merge for service/forum (aggregate_sections)
+    if profile.aggregate_sections and len(text) < 3000:
+        from .postprocess import try_multi_candidate_merge
+
+        merged = try_multi_candidate_merge(doc, opts)
+        if merged and len(merged) > 2 * len(text) and len(merged) <= 15_000:
+            warnings.append("Used multi-candidate merge")
+            text, spans, stage = merged, [], "merge"
+
+    # 10b. repeated-item collection for listing/category (pre-cleaning backup:
+    # cleaning strips <article> cards)
+    if profile.collect_repeated_items and len(text) < 3000:
+        from .postprocess import try_collect_repeated_items
+
+        collected = try_collect_repeated_items(backup)
+        if collected and len(collected) > 2 * len(text):
+            warnings.append("Used repeated-item collection")
+            text, spans, stage = collected, [], "repeated_items"
+
+    # 10c. collection-description prepend for category pages
+    if page_type == CATEGORY:
+        from .postprocess import extract_collection_description
+
+        desc = extract_collection_description(backup)
+        if desc and len(desc) >= 50:
+            probe = desc.lower()[: min(len(desc), 60)]
+            if probe not in text.lower():
+                text = f"{desc}\n\n{text}"
+
+    # 10d. product-description fallback: DOM empty/very short, or short with
+    #      low word overlap vs the structured description (extract.rs:292-318)
+    if jsonld_product and page_type == PRODUCT:
+        jp = clean_text(jsonld_product)
+        desc_words = set(jp.split())
+        content_words = set(text.split())
+        overlap = (
+            len(desc_words & content_words) / len(desc_words) if desc_words else 0.0
+        )
+        dom_too_short = len(text) < 100
+        dom_likely_wrong = len(text) < 500 and len(jp) >= 100 and overlap < 0.2
+        if dom_too_short or dom_likely_wrong:
+            warnings.append("Using JSON-LD Product description")
+            text, spans, stage = jp, [], "jsonld_product"
+
+    # 10e. structured-data preference (extract.rs:322-372): JSON-LD body wins
+    #      when DOM failed or the structured body is 2x larger
     if jsonld_body:
         jl = clean_text(jsonld_body)
         if not text or len(jl) > 2 * len(text):
@@ -189,20 +247,18 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
             stage = "jsonld_body"
             warnings.append("Using JSON-LD content")
 
-    # product-description override (extract.rs:292-318)
-    if jsonld_product and page_type == PRODUCT:
-        jp = clean_text(jsonld_product)
-        if len(jp) > len(text):
-            text = jp
-            spans = []
-            stage = "jsonld_product"
-            warnings.append("Using JSON-LD Product description")
+    # 11. comments (extract.rs:379-383); forum profiles force inclusion
+    comments_text: Optional[str] = None
+    if opts.include_comments or comments_are_content:
+        from .comments import extract_comments
 
-    # 11. dedup (html_processing.rs:694-715; per-document scope by default)
+        comments_text = extract_comments(doc, opts)
+
+    # 12. dedup (html_processing.rs:694-715; per-document scope by default)
     if opts.deduplicate and text:
         text = dedup_blocks(text, LruCache(opts.dedup_cache_size))
 
-    # 12. content html
+    # 13. content html
     content_html: Optional[str] = None
     if opts.include_content_html and content_node is not None and stage in (
         "main", "ancestor_walkup", "relaxed_boilerplate", "body"
@@ -210,6 +266,22 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         content_html = extract_filtered_html(
             content_node, opts,
             comments_are_content=comments_are_content,
+        ) or None
+
+    # 14. images (extract.rs:386-390)
+    images: list[dict] = []
+    if opts.include_images:
+        from .images import extract_images
+
+        images = extract_images(backup, content_node, meta.get("image"))
+
+    # 15. markdown (extract.rs:425-442)
+    content_markdown: Optional[str] = None
+    if opts.output_markdown and content_node is not None:
+        from ..functions.markdown import html_tree_to_markdown
+
+        content_markdown = html_tree_to_markdown(
+            content_node, include_links=opts.include_links
         ) or None
 
     # 13. final validations (extract.rs:1081-1136)
@@ -230,10 +302,10 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     return {
         "content_text": text,
         "content_html": content_html,
-        "content_markdown": None,  # markdown output: later phase
-        "comments_text": None,
+        "content_markdown": content_markdown,
+        "comments_text": comments_text,
         "comments_html": None,
-        "images": [],
+        "images": images,
         "title": meta.get("title"),
         "author": meta.get("author"),
         "url": meta.get("url") or opts.url,

@@ -74,6 +74,18 @@ def _element_excluded(
     itemtype = el.get("itemtype")
     if itemtype and "breadcrumblist" in itemtype.lower():
         return True
+    # hidden elements (discard rule 2, selector/discard.rs:225-259)
+    style = el.get("style")
+    if style and ("display:none" in style or "display: none" in style):
+        return True
+    if el.get("aria-hidden") == "true" or "hidden" in el.attrib:
+        return True
+    if cls:
+        cls_low = cls.lower()
+        if (cls_low.startswith("hide-") or "-hide-" in cls_low
+                or " hidden" in cls_low or " hide" in cls_low
+                or "noprint" in cls_low or "notloaded" in cls_low):
+            return True
     return False
 
 

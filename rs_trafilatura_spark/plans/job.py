@@ -35,53 +35,48 @@ def make_extract_batches(opts: Options):
     pickled once per task (an explicit broadcast is unnecessary for a
     small frozen dataclass; Spark ships task closures once per stage)."""
 
+    # kernel result key -> output column (canonical_url renames `url`)
+    _RESULT_KEYS = [
+        ("content_text", "content_text"), ("content_html", "content_html"),
+        ("content_markdown", "content_markdown"),
+        ("comments_text", "comments_text"), ("comments_html", "comments_html"),
+        ("images", "images"), ("title", "title"), ("author", "author"),
+        ("url", "canonical_url"), ("hostname", "hostname"),
+        ("description", "description"), ("sitename", "sitename"),
+        ("date", "date"), ("categories", "categories"), ("tags", "tags"),
+        ("id", "id"), ("fingerprint", "fingerprint"), ("license", "license"),
+        ("image", "image"), ("page_type", "page_type"),
+        ("classification_confidence", "classification_confidence"),
+        ("extraction_quality", "extraction_quality"),
+        ("warnings", "warnings"), ("stage", "stage"),
+    ]
+
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavy imports inside the worker, once per process
         from ..kernel.extract import extract_bytes
 
         for pdf in batches:
-            out_rows = []
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
-            ts = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
-            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
-            for url, html, warc_ts, lang in zip(urls, htmls, ts, langs):
-                row_opts = opts if opts.url is None else opts
-                res = extract_bytes(bytes(html), replace(row_opts, url=url))
-                out_rows.append({
-                    "url": url,
-                    "warc_ts": warc_ts,
-                    "content_text": res["content_text"],
-                    "content_html": res["content_html"],
-                    "content_markdown": res["content_markdown"],
-                    "comments_text": res["comments_text"],
-                    "comments_html": res["comments_html"],
-                    "images": res["images"],
-                    "title": res["title"],
-                    "author": res["author"],
-                    "canonical_url": res["url"],
-                    "hostname": res["hostname"],
-                    "description": res["description"],
-                    "sitename": res["sitename"],
-                    "date": res["date"],
-                    "categories": res["categories"],
-                    "tags": res["tags"],
-                    "id": res["id"],
-                    "fingerprint": res["fingerprint"],
-                    "license": res["license"],
-                    "language": res["language"] or lang,
-                    "image": res["image"],
-                    "page_type": res["page_type"],
-                    "classification_confidence": res["classification_confidence"],
-                    "extraction_quality": res["extraction_quality"],
-                    "warnings": res["warnings"],
-                    "spans": [
-                        {"start": s, "end": e, "kind": k}
-                        for s, e, k in res["spans"]
-                    ],
-                    "stage": res["stage"],
-                })
-            yield pd.DataFrame(out_rows, columns=OUTPUT_COLUMNS)
+            n = len(urls)
+            ts = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * n
+            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * n
+            results = [
+                extract_bytes(bytes(html), replace(opts, url=url))
+                for url, html in zip(urls, htmls)
+            ]
+            # columnar assembly (dict-of-lists) — cheaper than row dicts
+            data: dict = {"url": urls, "warc_ts": ts}
+            for rkey, col in _RESULT_KEYS:
+                data[col] = [r[rkey] for r in results]
+            data["language"] = [
+                r["language"] or lang for r, lang in zip(results, langs)
+            ]
+            data["spans"] = [
+                [{"start": s, "end": e, "kind": k} for s, e, k in r["spans"]]
+                for r in results
+            ]
+            yield pd.DataFrame(data, columns=OUTPUT_COLUMNS)
 
     return extract_batches
 
@@ -115,16 +110,28 @@ def run_extraction(
     pages: DataFrame,
     options: Options = DEFAULT_OPTIONS,
     target_partitions: Optional[int] = None,
-    repartition: bool = True,
+    repartition: bool = False,
 ) -> DataFrame:
     """The extraction pipeline: select only needed columns (column pruning
-    reaches the scan), size-aware repartition, Arrow-batched kernel."""
+    reaches the scan), then the Arrow-batched kernel.
+
+    By default the kernel maps DIRECTLY on the scan's partitions: parquet
+    splits are byte-bounded (spark.sql.files.maxPartitionBytes), so task
+    cost is already balanced by input bytes — which is what extraction cost
+    tracks (reference README.md:258-260) — and a full shuffle of page HTML
+    at 100 TB is exactly the bottleneck to avoid.  Set ``repartition=True``
+    for pathologically partitioned inputs (e.g. the output of a join or a
+    few huge row-groups), which routes through size_aware_repartition.
+    """
     if target_partitions is None:
         target_partitions = spark.sparkContext.defaultParallelism
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in pages.columns]
     df = pages.select(*cols)
     if repartition:
         df = size_aware_repartition(df, target_partitions)
+    elif df.rdd.getNumPartitions() < max(2, target_partitions // 2):
+        # too few input splits to use the cluster: one-time spread
+        df = df.repartition(target_partitions)
     return df.mapInPandas(make_extract_batches(options), schema=OUTPUT_SCHEMA)
 
 

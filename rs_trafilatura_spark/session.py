@@ -13,7 +13,8 @@ from typing import Optional
 
 from pyspark.sql import SparkSession
 
-ARROW_MAX_RECORDS = 256  # ~316KB avg pages -> ~80MB/batch upper bound
+ARROW_MAX_RECORDS = 2048  # per-batch row cap; pair with maxPartitionBytes
+MAX_PARTITION_BYTES = str(32 * 1024 * 1024)  # byte-bounded scan tasks
 
 
 def get_spark(
@@ -39,6 +40,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
+        .config("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
         .config("spark.ui.enabled", str(ui).lower())
         .config("spark.sql.parquet.compression.codec", "zstd")
     )

@@ -1,0 +1,128 @@
+"""Comments, images, markdown, and per-type post passes."""
+
+from rs_trafilatura_spark.kernel import extract
+from rs_trafilatura_spark.options import Options
+
+PADDING = " ".join(
+    f"Sentence number {i} gives the article substantial prose to extract." for i in range(12)
+)
+
+
+def wrap(body: str, head: str = "") -> str:
+    return f"<!doctype html><html lang='en'><head><title>T</title>{head}</head><body>{body}</body></html>"
+
+
+def test_comments_extracted_when_enabled():
+    html = wrap(
+        f"<article><p>MAIN_TEXT {PADDING}</p></article>"
+        "<div id='comments'>"
+        "<div class='comment'><p>FIRST_COMMENT insightful remark here.</p></div>"
+        "<div class='comment'><p>SECOND_COMMENT another reply follows.</p></div>"
+        "</div>"
+    )
+    r = extract(html, Options(include_comments=True))
+    assert "FIRST_COMMENT" in (r["comments_text"] or "")
+    assert "SECOND_COMMENT" in r["comments_text"]
+    assert "FIRST_COMMENT" not in r["content_text"]
+
+    r2 = extract(html, Options(include_comments=False))
+    assert r2["comments_text"] is None
+
+
+def test_comments_below_min_size_dropped():
+    html = wrap(
+        f"<article><p>MAIN {PADDING}</p></article>"
+        "<div id='comments'><p>ok</p></div>"
+    )
+    r = extract(html, Options(include_comments=True, min_output_comm_size=10))
+    assert r["comments_text"] is None
+
+
+def test_images_with_figure_caption_and_hero():
+    html = wrap(
+        f"<article><p>BODY {PADDING}</p>"
+        "<figure><img src='/img/hero-shot.jpg' alt='A hero'>"
+        "<figcaption>The caption text</figcaption></figure>"
+        "<img src='/img/second.png' alt='Second'>"
+        "</article>",
+        head="<meta property='og:image' content='https://cdn.x/img/hero-shot.jpg'>",
+    )
+    r = extract(html, Options(include_images=True))
+    assert len(r["images"]) == 2
+    hero = [i for i in r["images"] if i["is_hero"]]
+    assert len(hero) == 1 and hero[0]["src"] == "/img/hero-shot.jpg"
+    assert hero[0]["caption"] == "The caption text"
+    assert r["images"][1]["alt"] == "Second"
+
+
+def test_images_data_src_lazy():
+    html = wrap(
+        f"<article><p>B {PADDING}</p><img data-src='/lazy/pic.webp' alt='lazy'></article>"
+    )
+    r = extract(html, Options(include_images=True))
+    assert r["images"][0]["src"] == "/lazy/pic.webp"
+
+
+def test_markdown_output():
+    html = wrap(
+        "<article><h2>Section Title</h2>"
+        f"<p>Intro with <strong>bold</strong> and <em>italic</em>. {PADDING}</p>"
+        "<ul><li>first item</li><li>second item</li></ul>"
+        "<pre><code>x = 1</code></pre>"
+        "<table><tr><th>A</th><th>B</th></tr><tr><td>1</td><td>2</td></tr></table>"
+        "</article>"
+    )
+    r = extract(html, Options(output_markdown=True, include_links=True))
+    md = r["content_markdown"]
+    assert "## Section Title" in md
+    assert "**bold**" in md and "*italic*" in md
+    assert "- first item" in md
+    assert "```\nx = 1\n```" in md
+    assert "| A | B |" in md
+
+
+def test_multi_candidate_merge_service():
+    secs = []
+    for k in range(3):
+        paras = "".join(
+            f"<p>Service section {k} paragraph {j} with plenty of descriptive "
+            f"prose about offerings and outcomes for the client engagement.</p>"
+            for j in range(4 - k)
+        )
+        secs.append(f'<div class="section-block">{paras}</div>')
+    html = wrap("".join(secs))
+    r = extract(html, Options(url="https://x.example/services/consulting"))
+    assert r["page_type"] == "service"
+    assert r["stage"] == "merge"
+    assert "Service section 0" in r["content_text"]
+    assert "Service section 2" in r["content_text"]
+
+
+def test_collection_description_category():
+    desc = ("This category collects long-form guides about growing vegetables "
+            "in small spaces, with seasonal advice and detailed walkthroughs "
+            "for each crop including watering schedules and common problems.")
+    grid = "".join(f"<div class='grid-item'><a href='/p/{k}'>item</a></div>" for k in range(10))
+    html = wrap(
+        f"<div class='category-description'><p>{desc}</p></div>"
+        f"<div class='product-grid'>{grid}</div>"
+    )
+    r = extract(html, Options(url="https://x.example/category/veg"))
+    assert r["page_type"] == "collection"
+    assert desc in r["content_text"]
+
+
+def test_repeated_items_listing():
+    cards = "".join(
+        "<article class='news-card'><p>"
+        + f"Story {k}: " + " ".join(
+            f"sentence {j} of the summary with details and context." for j in range(30))
+        + "</p></article>"
+        for k in range(5)
+    )
+    html = wrap(f"<main>{cards}</main>")
+    r = extract(html, Options(url="https://x.example/latest/news"))
+    assert r["page_type"] == "listing"
+    assert r["stage"] == "repeated_items"
+    for k in range(5):
+        assert f"Story {k}:" in r["content_text"]
