@@ -398,20 +398,45 @@ def find_heuristic_content_node(body: Element, opts: Options) -> Optional[Elemen
     return None
 
 
+def _normalize_lang(value: str) -> str:
+    return value.strip().lower().split("-")[0].split("_")[0]
+
+
+def matches_target_language(el: Element, doc_lang: Optional[str],
+                            target: Optional[str]) -> bool:
+    """Element lang attr, else document language, else graceful pass-through
+    (reference extract.rs:1729-1818)."""
+    if target is None:
+        return True
+    el_lang = el.get("lang")
+    if el_lang:
+        return _normalize_lang(el_lang) == _normalize_lang(target)
+    for anc in el.ancestors():
+        anc_lang = anc.get("lang")
+        if anc_lang:
+            return _normalize_lang(anc_lang) == _normalize_lang(target)
+    if doc_lang:
+        return _normalize_lang(doc_lang) == _normalize_lang(target)
+    return True
+
+
 def find_main_content_node(body: Element, opts: Options,
-                           profile_selectors: tuple[str, ...] = ()) -> Optional[Element]:
+                           profile_selectors: tuple[str, ...] = (),
+                           doc_lang: Optional[str] = None) -> Optional[Element]:
     """Full selection cascade (extract.rs:1831-1897)."""
+    target = opts.target_language
     for sel_str in profile_selectors:
         for el in select(body, sel_str):
             if len(el.text_content().strip()) > 100:
                 return el
     content = find_content(body)
     if content is not None:
-        return content
-    articles = select(body, ARTICLE_SELECTOR)
-    if articles:
-        return articles[0]
-    mains = select(body, MAIN_SELECTOR)
-    if mains:
-        return mains[0]
+        if target is None or matches_target_language(content, doc_lang, target):
+            return content
+    for el in select(body, ARTICLE_SELECTOR):
+        if matches_target_language(el, doc_lang, target):
+            return el
+    for el in select(body, MAIN_SELECTOR):
+        if matches_target_language(el, doc_lang, target):
+            return el
     return find_heuristic_content_node(body, opts)

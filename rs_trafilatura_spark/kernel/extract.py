@@ -108,7 +108,15 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
 
     # 8. main extraction + recovery ladder (extract.rs:1358-1510)
     page_title = meta.get("title")
-    content_node = find_main_content_node(body, opts, profile.content_selectors)
+    content_node = find_main_content_node(
+        body, opts, profile.content_selectors, doc_lang=meta.get("language")
+    )
+    if (opts.target_language and meta.get("language")
+            and meta["language"] != opts.target_language.split("-")[0].lower()):
+        warnings.append(
+            f"Document language {meta['language']!r} does not match target "
+            f"{opts.target_language!r}"
+        )
     stage = "main"
     text = ""
     spans: list[tuple[int, int, str]] = []

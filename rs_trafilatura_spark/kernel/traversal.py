@@ -40,16 +40,26 @@ _HEADING_TITLE_CLASSES = (
 )
 
 
+_PRECISION_TAGS = frozenset(
+    {"div", "dd", "dt", "li", "ul", "ol", "dl", "p", "section", "span"}
+)
+
+
 def _element_excluded(
     el: Element,
     inside_article_main: bool,
     filter_named_boilerplate: bool,
     comments_are_content: bool,
+    opts: Optional[Options] = None,
 ) -> bool:
     """Own-attribute exclusion checks; ancestors were validated on descent."""
     tag = el.tag
     if tag == "header":
         if not inside_article_main:
+            return True
+        if opts is not None and opts.favor_precision:
+            # precision rule 1: headers go even inside article/main
+            # (selector/precision.rs:40-42)
             return True
     elif tag == "footer":
         cls = el.get("class")
@@ -74,6 +84,21 @@ def _element_excluded(
     itemtype = el.get("itemtype")
     if itemtype and "breadcrumblist" in itemtype.lower():
         return True
+    # precision / teaser / caption discards (selector/precision.rs:40-153)
+    if opts is not None and tag in _PRECISION_TAGS:
+        id_cls = f"{id_}{cls}"
+        if opts.favor_precision:
+            style_attr = el.get("style")
+            if ("bottom" in id_cls or "link" in id_cls
+                    or (style_attr and "border" in style_attr)):
+                return True
+        if not opts.favor_recall:
+            if "teaser" in id_cls.lower():
+                return True
+        if not opts.include_images:
+            if "caption" in id_cls:  # case-sensitive, like the reference
+                return True
+
     # hidden elements (discard rule 2, selector/discard.rs:225-259)
     style = el.get("style")
     if style and ("display:none" in style or "display: none" in style):
@@ -110,7 +135,7 @@ def extract_filtered_text(
     def visit(el: Element, inside_am: bool) -> None:
         tag = el.tag
         if _element_excluded(el, inside_am, filter_named_boilerplate,
-                             comments_are_content):
+                             comments_are_content, opts):
             return
 
         if tag == "table":
@@ -212,7 +237,7 @@ def extract_filtered_html(
 
     def visit(el: Element, inside_am: bool) -> None:
         if _element_excluded(el, inside_am, filter_named_boilerplate,
-                             comments_are_content):
+                             comments_are_content, opts):
             return
         tag = el.tag
         if tag == "table" and (link_density_test_tables(el) or not opts.include_tables):

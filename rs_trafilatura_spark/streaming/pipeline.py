@@ -1,0 +1,68 @@
+"""Structured Streaming variant of the extraction pipeline (SURVEY.md §2.10).
+
+The reference has no streaming operators (its spider channel is the caller's
+concern, README.md:196-212); this is the engine's forward path: readStream
+on the pages table -> the SAME mapInPandas kernel -> sink, with a watermark
+on warc_ts for late data and dropDuplicates(url) within the watermark as the
+streaming generalization of the LRU dedup (SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from ..options import DEFAULT_OPTIONS, Options
+from ..plans.job import make_extract_batches
+from ..plans.schema import OUTPUT_SCHEMA
+
+PAGES_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), False),
+    T.StructField("html", T.BinaryType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+])
+
+
+def read_pages_stream(spark: SparkSession, input_path: str,
+                      max_files_per_trigger: int = 8) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+    )
+
+
+def extraction_stream(
+    pages_stream: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    watermark: str = "10 minutes",
+    dedup_urls: bool = True,
+) -> DataFrame:
+    """Streaming extraction: watermark late crawls, drop duplicate urls
+    within the watermark, then the batch kernel unchanged."""
+    df = pages_stream.withWatermark("warc_ts", watermark)
+    if dedup_urls:
+        df = df.dropDuplicates(["url"])
+    df = df.select("url", "warc_ts", "html", "lang")
+    return df.mapInPandas(make_extract_batches(options), schema=OUTPUT_SCHEMA)
+
+
+def run_stream_to_memory(spark: SparkSession, input_path: str,
+                         query_name: str = "extracted",
+                         options: Options = DEFAULT_OPTIONS):
+    """Drive a bounded backlog to completion synchronously (local smoke);
+    production sinks swap in .format('parquet')/foreachBatch."""
+    stream = extraction_stream(read_pages_stream(spark, input_path), options)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -126,3 +126,66 @@ def test_repeated_items_listing():
     assert r["stage"] == "repeated_items"
     for k in range(5):
         assert f"Story {k}:" in r["content_text"]
+
+
+def test_teaser_dropped_unless_recall():
+    html = wrap(
+        f"<article><p>KEEP {PADDING}</p>"
+        "<div class='article-teaser'>TEASER_JUNK preview of another story</div>"
+        "</article>"
+    )
+    r = extract(html)
+    assert "TEASER_JUNK" not in r["content_text"]
+    r2 = extract(html, Options(favor_recall=True))
+    assert "TEASER_JUNK" in r2["content_text"]
+
+
+def test_precision_drops_link_named_divs():
+    html = wrap(
+        f"<article><p>KEEP {PADDING}</p>"
+        "<div class='link-box'>LINKBOX_JUNK</div></article>"
+    )
+    r = extract(html, Options(favor_precision=True))
+    assert "LINKBOX_JUNK" not in r["content_text"]
+    r2 = extract(html)
+    assert "LINKBOX_JUNK" in r2["content_text"]
+
+
+def test_hidden_elements_dropped():
+    html = wrap(
+        f"<article><p>VISIBLE {PADDING}</p>"
+        "<div style='display:none'>HIDDEN_STYLE</div>"
+        "<div aria-hidden='true'>HIDDEN_ARIA</div>"
+        "<p hidden>HIDDEN_ATTR</p>"
+        "</article>"
+    )
+    r = extract(html)
+    assert "VISIBLE" in r["content_text"]
+    for junk in ("HIDDEN_STYLE", "HIDDEN_ARIA", "HIDDEN_ATTR"):
+        assert junk not in r["content_text"]
+
+
+def test_split_body_merge():
+    # chunk1 must clear MIN_CONTENT_TEXT_LEN (1000) so rule 1 selects it
+    # alone rather than promoting to the whole <article>
+    chunk = "".join(
+        f"<p>Split chunk paragraph {j} carries the narrative forward with "
+        f"substantial sentences that add up to real content length.</p>"
+        for j in range(12)
+    )
+    chunk2 = "".join(
+        f"<p>Continuation paragraph {j} resumes after the advertisement "
+        f"interruption with more of the story text.</p>"
+        for j in range(3)
+    )
+    html = wrap(
+        "<article>"
+        f"<div class='article__body'>{chunk}</div>"
+        "<aside class='ad-slot'>ad</aside>"
+        f"<div class='article__body'>{chunk2}</div>"
+        "</article>"
+    )
+    r = extract(html)
+    assert r["stage"] == "split_body"
+    assert "Split chunk paragraph 0" in r["content_text"]
+    assert "Continuation paragraph 2" in r["content_text"]
