@@ -94,6 +94,9 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     jsonld_product = (
         find_jsonld_product_description(doc) if page_type == PRODUCT else None
     )
+    from .fallback import extract_discourse_content
+
+    discourse_body = extract_discourse_content(doc)
 
     # 6. profile; forum comments become content (extract.rs:135-150)
     profile = profile_for(page_type)
@@ -245,15 +248,21 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
             warnings.append("Using JSON-LD Product description")
             text, spans, stage = jp, [], "jsonld_product"
 
-    # 10e. structured-data preference (extract.rs:322-372): JSON-LD body wins
-    #      when DOM failed or the structured body is 2x larger
-    if jsonld_body:
-        jl = clean_text(jsonld_body)
-        if not text or len(jl) > 2 * len(text):
-            text = jl
+    # 10e. structured-data preference (extract.rs:322-372): Discourse wins
+    #      over JSON-LD; either replaces the DOM result when it failed or
+    #      the structured body is 2x larger
+    structured = (
+        (clean_text(discourse_body), "discourse") if discourse_body
+        else (clean_text(jsonld_body), "jsonld_body") if jsonld_body
+        else None
+    )
+    if structured:
+        s_text, s_stage = structured
+        if not text or len(s_text) > 2 * len(text):
+            text = s_text
             spans = []
-            stage = "jsonld_body"
-            warnings.append("Using JSON-LD content")
+            stage = s_stage
+            warnings.append(f"Using {s_stage} content")
 
     # 11. comments (extract.rs:379-383); forum profiles force inclusion
     comments_text: Optional[str] = None
@@ -304,8 +313,32 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         stage = "empty"
         warnings.append("No content extracted")
 
+    # option toggles declared by the reference Options (options.rs:177,214;
+    # unused in its live path — wired as real behavior here)
+    if opts.include_title_in_content and meta.get("title") and text:
+        if not text.startswith(meta["title"]):
+            text = f"{meta['title']}\n\n{text}"
+    if opts.only_with_metadata and not (
+        meta.get("title") or meta.get("author") or meta.get("date")
+    ):
+        text = ""
+        stage = "empty"
+        warnings.append("Dropped: no metadata (only_with_metadata)")
+
     # 14. quality (extract.rs:401-406)
     quality = compute_extraction_quality(text, content_html, html_len, page_type)
+
+    # content fingerprint (result.rs:122 declares it; engine fills it:
+    # md5 of the text — doubles as the exact-dedup key) and stable row id
+    import hashlib
+
+    fingerprint = (
+        hashlib.md5(text.encode("utf-8")).hexdigest() if text else None
+    )
+    row_id = (
+        hashlib.md5((opts.url or "").encode("utf-8")).hexdigest()
+        if opts.url else None
+    )
 
     return {
         "content_text": text,
@@ -323,8 +356,8 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         "date": meta.get("date"),
         "categories": meta.get("categories", []),
         "tags": meta.get("tags", []),
-        "id": None,
-        "fingerprint": None,
+        "id": row_id,
+        "fingerprint": fingerprint,
         "license": meta.get("license"),
         "language": meta.get("language"),
         "image": meta.get("image"),

@@ -24,6 +24,54 @@ def _should_discard(el: Element) -> bool:
     return el.tag in ("nav", "aside", "header", "footer")
 
 
+def extract_discourse_content(doc: Document) -> Optional[str]:
+    """Discourse `#data-preloaded` JSON: topic_* -> post_stream.posts ->
+    cooked HTML per post, text via the DOM, joined with blank lines
+    (reference extractor/fallback.rs:44-110)."""
+    import json
+
+    el = None
+    for cand in doc.root.iterdesc():
+        if cand.get("id") == "data-preloaded":
+            el = cand
+            break
+    if el is None:
+        return None
+    raw = el.get("data-preloaded")
+    if not raw:
+        return None
+    # html.parser already entity-decodes attribute values
+    try:
+        outer = json.loads(raw)
+    except ValueError:
+        return None
+    if not isinstance(outer, dict):
+        return None
+    topic_str = next(
+        (v for k, v in outer.items() if k.startswith("topic_")), None
+    )
+    if not isinstance(topic_str, str):
+        return None
+    try:
+        topic = json.loads(topic_str)
+    except ValueError:
+        return None
+    posts = (
+        topic.get("post_stream", {}).get("posts", [])
+        if isinstance(topic, dict) else []
+    )
+    parts: list[str] = []
+    for post in posts:
+        cooked = post.get("cooked") if isinstance(post, dict) else None
+        if isinstance(cooked, str) and cooked.strip():
+            from ..dom import Document as _Doc
+
+            text = clean_text(_Doc(cooked).root.text_content())
+            if text:
+                parts.append(text)
+    return "\n\n".join(parts) if parts else None
+
+
 def baseline(doc: Document) -> tuple[str, str]:
     """Return (text, stage). Mirrors fallback.rs:259-368 over the UNCLEANED
     backup document."""

@@ -249,6 +249,10 @@ def _meta_tags(doc: Document, meta: dict) -> None:
             tags = [t.strip() for t in re.split("[,;]", content) if t.strip()]
             if tags and not meta.get("tags"):
                 meta["tags"] = tags
+        elif key in ("article:section", "category", "parsely-section"):
+            cats = [t.strip() for t in re.split("[,;]", content) if t.strip()]
+            if cats and not meta.get("categories"):
+                meta["categories"] = cats
         elif key in _META_LANG_NAMES and not meta.get("language"):
             meta["language"] = _norm_lang(content)
         elif key == "og:type" and not meta.get("page_type_hint"):
@@ -339,6 +343,46 @@ def _language_from_dom(doc: Document, meta: dict) -> None:
             meta["language"] = _norm_lang(lang)
 
 
+_CC_HREF_RE = re.compile(r"creativecommons\.org/licenses/([a-z-]+)/")
+
+
+def _categories_from_dom(doc: Document, meta: dict) -> None:
+    """Category links (rel=category / breadcrumb-ish category anchors),
+    capped at 5 (dom_extraction.rs:342-369)."""
+    if meta.get("categories"):
+        return
+    cats: list[str] = []
+    for el in select(doc.root, "a[rel='category'], a[rel='category tag'], "
+                               "[class*='cat-links'] a, [class*='post-categories'] a"):
+        text = clean_text(el.text_content())
+        if text and text not in cats:
+            cats.append(text)
+        if len(cats) >= 5:
+            break
+    if cats:
+        meta["categories"] = cats
+
+
+def _license_from_dom(doc: Document, meta: dict) -> None:
+    """Footer CC mentions + rel=license links (dom_extraction.rs:519-563)."""
+    if meta.get("license"):
+        return
+    for sel_str in ("footer", ".footer", "#footer", "[class*='license']",
+                    "[class*='copyright']"):
+        for el in select(doc.root, sel_str):
+            m = _CC_HREF_RE.search(el.text_content())
+            if m:
+                meta["license"] = f"CC {m.group(1).upper()}"
+                return
+    for a in select(doc.root, "a[rel='license']"):
+        href = a.get("href")
+        if href:
+            m = _CC_HREF_RE.search(href)
+            if m:
+                meta["license"] = f"CC {m.group(1).upper()}"
+                return
+
+
 def _sitename_from_title(meta: dict) -> None:
     if meta.get("sitename"):
         return
@@ -362,6 +406,8 @@ def extract_metadata(doc: Document, author_blacklist: tuple[str, ...] = ()) -> d
     _author_from_dom(doc, meta)
     _canonical_url(doc, meta)
     _language_from_dom(doc, meta)
+    _categories_from_dom(doc, meta)
+    _license_from_dom(doc, meta)
     _sitename_from_title(meta)
 
     # post-process
