@@ -128,9 +128,29 @@ def _compile(selector: str) -> tuple:
     return tuple(_Chain(alt.strip()) for alt in selector.split(",") if alt.strip())
 
 
+@lru_cache(maxsize=4096)
+def _tag_only(selector: str):
+    """Fast path: selectors like 'p' / 'td, th' compile to a tag frozenset."""
+    tags = []
+    for chain in _compile(selector):
+        if len(chain.steps) != 1:
+            return None
+        comp = chain.steps[0][1]
+        if comp.preds or comp.tag is None:
+            return None
+        tags.append(comp.tag)
+    return frozenset(tags) if tags else None
+
+
 def iter_select(root: Element, selector: str) -> Iterator[Element]:
     """Yield descendants of ``root`` (excluding root itself) matching the
     selector, in document order."""
+    tags = _tag_only(selector)
+    if tags is not None:
+        for el in root.iterdesc():
+            if el.tag in tags:
+                yield el
+        return
     chains = _compile(selector)
     for el in root.iterdesc():
         for ch in chains:

@@ -19,7 +19,26 @@ WHITESPACE_NORMALIZE = re.compile(r"\s+")
 _PUNCT = frozenset(".,;:!?")
 
 
+_WS_RUN = re.compile(r"[ \t]+")
+_SPACE_BEFORE = re.compile(r" (?=[\n.,;:!?])")
+_SPACE_AFTER_NL = re.compile(r"\n ")
+
+
 def normalize_text_output(text: str) -> str:
+    """Regex fast path, equivalent to the reference's char-by-char
+    pending-space machine (extract.rs:3081-3118) — property-tested against
+    ``normalize_text_output_reference`` below."""
+    s = text.replace("\r", "")
+    s = _WS_RUN.sub(" ", s)            # tabs/space runs -> one pending space
+    s = _SPACE_BEFORE.sub("", s)       # punctuation/newline attach left
+    s = _SPACE_AFTER_NL.sub("\n", s)   # pending space not emitted at line start
+    s = LINE_WHITESPACE.sub("", s)
+    s = MULTIPLE_NEWLINES.sub("\n\n", s)
+    return s.strip()
+
+
+def normalize_text_output_reference(text: str) -> str:
+    """The literal state machine, kept as the executable spec."""
     out: list[str] = []
     pending_space = False
     for ch in text:

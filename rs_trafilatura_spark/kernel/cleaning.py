@@ -28,12 +28,27 @@ _CONSENT_MARKERS = (
     "personalize content", "enable javascript",
 )
 
-_MODAL_CONSENT_SELECTORS = (
-    ".modal-dialog, .modal-content, .modal-backdrop, .modal-overlay, "
-    "[class~='modal'], [role='dialog'], [id*='gdpr'], [class*='gdpr'], "
-    "[id*='consent'], [class*='consent'], [class*='cookie-banner'], "
-    "[id*='cookie-banner'], [class*='cookiebanner'], [id*='cookiebanner']"
+_MODAL_CLASSES = frozenset(
+    {"modal-dialog", "modal-content", "modal-backdrop", "modal-overlay", "modal"}
 )
+
+
+def _is_modal_consent(el: Element) -> bool:
+    """Modal/GDPR/consent predicate — same semantics as the reference's
+    selector list (html_processing.rs:237-252), checked attribute-side in
+    the single cleaning pass instead of 14 separate tree scans."""
+    cls = el.get("class")
+    id_ = el.get("id")
+    if cls:
+        if any(c in _MODAL_CLASSES for c in cls.split()):
+            return True
+        if ("gdpr" in cls or "consent" in cls or "cookie-banner" in cls
+                or "cookiebanner" in cls):
+            return True
+    if id_ and ("gdpr" in id_ or "consent" in id_ or "cookie-banner" in id_
+                or "cookiebanner" in id_):
+        return True
+    return el.get("role") == "dialog"
 
 
 def _inside_article_or_main(el: Element) -> bool:
@@ -85,11 +100,12 @@ def doc_cleaning(body: Element, opts: Options,
     if not opts.include_tables:
         to_clean |= {"table", "td", "th", "tr"}
 
-    # single pass: collect victims first (mutating while iterating is unsafe)
+    # single pass: collect victims first (mutating while iterating is unsafe);
+    # modal/GDPR/consent removal rides the same pass
     clean_victims: list[Element] = []
     strip_victims: list[Element] = []
     for el in body.iterdesc():
-        if el.tag in to_clean:
+        if el.tag in to_clean or _is_modal_consent(el):
             clean_victims.append(el)
         elif el.tag in to_strip:
             strip_victims.append(el)
@@ -99,11 +115,6 @@ def doc_cleaning(body: Element, opts: Options,
     for el in strip_victims:
         if el.parent is not None:
             el.unwrap()
-
-    # modal / GDPR / consent selectors
-    for el in select(body, _MODAL_CONSENT_SELECTORS):
-        if el.parent is not None:
-            el.drop_tree()
 
     # 6. tail-aware empty-element pruning with size guard
     if len(body.text_content()) < MAX_PRUNE_DOCUMENT_SIZE:

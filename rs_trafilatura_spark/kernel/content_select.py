@@ -398,6 +398,62 @@ def find_heuristic_content_node(body: Element, opts: Options) -> Optional[Elemen
     return None
 
 
+_BLOCK_CHILD_SELECTOR = (
+    "div, p, section, article, table, ul, ol, blockquote, form, header, "
+    "footer, nav, pre"
+)
+
+
+def find_content_node_bottom_up(body: Element) -> Optional[Element]:
+    """Bottom-up Readability-style scorer (extract.rs:1905-2031): score
+    p/pre/leaf-div blocks by 1 + commas + min(len/100, 3); propagate to the
+    parent (x1) and grandparent (x0.5) containers; link-density multiplier
+    (x0.1 / x0.5); best container wins if score >= 10 and text > 200."""
+    containers = [
+        el for el in body.iterdesc()
+        if el.tag in ("div", "section", "article", "main", "td", "blockquote")
+    ]
+    if not containers:
+        return None
+    idx = {id(el): i for i, el in enumerate(containers)}
+    scores = [class_score(el) for el in containers]
+
+    for el in body.iterdesc():
+        if el.tag not in ("p", "pre", "div"):
+            continue
+        if el.tag == "div" and select(el, _BLOCK_CHILD_SELECTOR):
+            continue  # only leaf divs act as paragraphs
+        text = el.text_content().strip()
+        if len(text) < 25:
+            continue
+        base = 1.0 + text.count(",") + min(len(text) // 100, 3)
+        parent = el.parent
+        if parent is not None and id(parent) in idx:
+            scores[idx[id(parent)]] += base
+            gp = parent.parent
+            if gp is not None and id(gp) in idx:
+                scores[idx[id(gp)]] += base / 2.0
+
+    for i, el in enumerate(containers):
+        if scores[i] <= 0:
+            continue
+        text_len = len(el.text_content().strip())
+        if text_len == 0:
+            continue
+        link_len = sum(len(a.text_content().strip()) for a in select(el, "a"))
+        density = link_len / text_len
+        if density > 0.5:
+            scores[i] *= 0.1
+        elif density > 0.25:
+            scores[i] *= 0.5
+
+    best_i = max(range(len(scores)), key=lambda i: scores[i])
+    if scores[best_i] < 10.0:
+        return None
+    best = containers[best_i]
+    return best if len(best.text_content().strip()) > 200 else None
+
+
 def _normalize_lang(value: str) -> str:
     return value.strip().lower().split("-")[0].split("_")[0]
 

@@ -153,6 +153,18 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
                         stage = "ancestor_walkup"
                 node = parent
 
+        # bottom-up Readability scorer (extract.rs:1431-1441)
+        if len(text) < opts.min_extracted_len:
+            from .content_select import find_content_node_bottom_up
+
+            bu = find_content_node_bottom_up(body)
+            if bu is not None and bu is not content_node:
+                bu_text, bu_spans = run(bu)
+                if len(bu_text) > len(text):
+                    text, spans = bu_text, bu_spans
+                    content_node = bu
+                    stage = "bottom_up"
+
         # relaxed-boilerplate retry (extract.rs:1445-1469)
         if len(text) < opts.min_extracted_len:
             relaxed_text, relaxed_spans = run(content_node, filter_bp=False)
