@@ -48,6 +48,8 @@ _FAMILIES = (
     ("split_body", 3),
     ("short_fallback", 2),
     ("boilerplate_only", 2),
+    ("malformed", 1),
+    ("huge_page", 1),
 )
 _FAMILY_NAMES = tuple(f for f, _ in _FAMILIES)
 _FAMILY_WEIGHTS = tuple(w for _, w in _FAMILIES)
@@ -441,6 +443,35 @@ def _fam_short_fallback(rnd, title, site):
         "stage": "baseline_rescue", "language": "en", "page_type": "article"}
 
 
+def _fam_malformed(rnd, title, site):
+    # unclosed <p>s, stray end tags, missing </body></html>, broken attr —
+    # shapes where html.parser's implicit-close rules keep parser agreement
+    # (reference robustness tests, extract.rs:3807-3847)
+    paras = _paragraphs(rnd, 5)
+    open_ps = "".join(f"<p>{p}" for p in paras)  # never closed
+    body = (
+        _NAV
+        + f"<article><h1>{title}</h1>{open_ps}</b></span></article>"
+        + '<div class="x" data-broken>trailing junk outside article</div>'
+    )
+    html = (
+        f'<!doctype html><html lang="en"><head><meta charset="utf-8">'
+        f"<title>{title} - {site}</title></head><body>{body}"
+        # no </body></html>
+    )
+    return html, "\n\n".join(paras), {
+        "stage": "main", "language": "en", "page_type": "article"}
+
+
+def _fam_huge_page(rnd, title, site):
+    # ~0.5 MB of unique paragraphs: exercises the size guards and the
+    # size-aware task balancing without tripping max_extracted_len
+    paras = [_paragraph(rnd, sentences=6) for _ in range(700)]
+    body = _NAV + f"<article><h1>{title}</h1>{_ps(paras)}</article>" + _footer(site)
+    return _page(title, site, body), "\n\n".join(paras), {
+        "stage": "main", "language": "en", "page_type": "article"}
+
+
 def _fam_boilerplate_only(rnd, title, site):
     body = (
         _NAV
@@ -453,6 +484,8 @@ def _fam_boilerplate_only(rnd, title, site):
 
 _BUILDERS = {
     "split_body": _fam_split_body,
+    "malformed": _fam_malformed,
+    "huge_page": _fam_huge_page,
     "listing_page": _fam_listing_page,
     "category_page": _fam_category_page,
     "service_page": _fam_service_page,

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Production job entry — run via spark-submit:
+
+    zip -r pkg.zip rs_trafilatura_spark/
+    spark-submit --py-files pkg.zip scripts/run_job.py \\
+        --input  /data/pages_parquet_or_iceberg \\
+        --output /data/extracted \\
+        --chunks 256 --dedup --comments --target-lang en
+
+Reads the pages table (url, warc_ts, html, lang [, text]), runs the
+extraction cascade checkpointed chunk-by-chunk (resume-safe: re-running
+skips completed chunks via the manifest), prints per-stage metrics.
+
+Iceberg note: with the Iceberg runtime jar on the classpath, swap the two
+marked lines for spark.read.format("iceberg") / write.format("iceberg");
+the engine code is storage-agnostic (this container has no Iceberg jar,
+so parquet is wired as the default).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="rs_trafilatura_spark extraction job")
+    ap.add_argument("--input", required=True, help="pages table path")
+    ap.add_argument("--output", required=True, help="output table path")
+    ap.add_argument("--chunks", type=int, default=64,
+                    help="checkpoint chunks (resume granularity)")
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--dedup", action="store_true")
+    ap.add_argument("--comments", action="store_true")
+    ap.add_argument("--images", action="store_true")
+    ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--precision", action="store_true")
+    ap.add_argument("--recall", action="store_true")
+    ap.add_argument("--target-lang", default=None)
+    args = ap.parse_args()
+
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.session import get_spark
+    from rs_trafilatura_spark.sources import (
+        read_output,
+        run_extraction_checkpointed,
+    )
+    from rs_trafilatura_spark.plans import stage_metrics
+
+    spark = get_spark(parallelism=args.parallelism)
+    opts = Options(
+        deduplicate=args.dedup,
+        include_comments=args.comments,
+        include_images=args.images,
+        output_markdown=args.markdown,
+        favor_precision=args.precision,
+        favor_recall=args.recall,
+        target_language=args.target_lang,
+    )
+    pages = spark.read.parquet(args.input)  # iceberg: .format("iceberg").load(...)
+
+    summary = run_extraction_checkpointed(
+        spark, pages, args.output, opts, n_chunks=args.chunks,
+    )
+    out = read_output(spark, args.output)
+    metrics = [r.asDict() for r in stage_metrics(out).collect()]
+    print(json.dumps({"summary": summary, "stage_metrics": metrics}, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
