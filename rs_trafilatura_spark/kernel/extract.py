@@ -200,16 +200,13 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         )
     )
     if needs_fallback:
+        from .fallback import candidate_is_usable
+
         cand_text, cand_stage = baseline(backup)
-        # candidate_is_usable ratio rules (fallback.rs:396-482 condensed):
-        # accept when current failed outright, or candidate is 2x larger
-        if len(text) < opts.min_extracted_len and len(cand_text) > len(text):
-            if cand_text:
-                text = cand_text
-                spans = []
-                stage = cand_stage
-                warnings.append("Used fallback extraction")
-        elif len(cand_text) > 2 * len(text):
+        if candidate_is_usable(
+            len(cand_text), len(text), content_node,
+            opts.min_extracted_size, opts.favor_recall,
+        ):
             text = cand_text
             spans = []
             stage = cand_stage

@@ -72,6 +72,42 @@ def extract_discourse_content(doc: Document) -> Optional[str]:
     return "\n\n".join(parts) if parts else None
 
 
+def candidate_is_usable(cand_len: int, text_len: int,
+                        content_node: Optional[Element],
+                        min_size: int, favor_recall: bool = False) -> bool:
+    """Accept/reject the fallback candidate (fallback.rs:396-482)."""
+    if cand_len == 0 or cand_len == text_len:
+        return False
+    if text_len == 0:
+        return True
+    # extreme over-extraction: we almost certainly grabbed boilerplate
+    if text_len > 5 * cand_len and cand_len >= min_size:
+        return True
+    p_text_len = 0
+    p_count = 0
+    table_count = 0
+    if content_node is not None:
+        ps = select(content_node, "p")
+        p_count = len(ps)
+        p_text_len = sum(len(p.text_content().strip()) for p in ps)
+        table_count = len(select(content_node, "table"))
+    if text_len > 2 * cand_len:
+        # low paragraph density -> extraction is boilerplate-ish
+        if text_len > 0 and p_text_len * 100 // text_len < 40 and cand_len >= min_size:
+            return True
+        if text_len > 3 * cand_len and cand_len >= min_size:
+            return True
+        return False
+    if cand_len > 2 * text_len:
+        return True
+    # borderline structure checks
+    if p_text_len == 0 and cand_len > min_size * 2:
+        return True
+    if table_count > p_count and cand_len > min_size * 2:
+        return True
+    return text_len < min_size and favor_recall
+
+
 def baseline(doc: Document) -> tuple[str, str]:
     """Return (text, stage). Mirrors fallback.rs:259-368 over the UNCLEANED
     backup document."""
