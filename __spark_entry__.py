@@ -216,7 +216,8 @@ def q_embedding_topk(spark, sf_dir):
 def q_ann_lsh_topk(spark, sf_dir):
     from rs_trafilatura_spark.operators.similarity import ann_topk
 
-    return ann_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+    return ann_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
+                    exclude_id=0)
 
 
 def q_multimodal_image_meta(spark, sf_dir):
@@ -229,6 +230,22 @@ def q_multimodal_image_meta(spark, sf_dir):
     return extract_image_metadata(
         documents_as_fake_images(_docs(spark, sf_dir))
     ).select("doc_id", "byte_len", "fake_width", "fake_height")
+
+
+
+
+def q_topk_per_source(spark, sf_dir):
+    from rs_trafilatura_spark.operators.windows import topk_docs_per_source
+
+    return topk_docs_per_source(_docs(spark, sf_dir), k=2)
+
+
+def q_sessionize_events(spark, sf_dir):
+    from rs_trafilatura_spark.operators.windows import sessionize_events
+
+    return sessionize_events(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
+    )
 
 
 # --- contract -----------------------------------------------------------------------
@@ -255,6 +272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "topk_per_source": q_topk_per_source,
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -339,6 +358,28 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
             "WHERE vec_id != 0 "
             "ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+        ),
+        "topk_per_source": (
+            "SELECT source, rank, doc_id, n_chars FROM ("
+            "SELECT source, doc_id, n_chars, "
+            "row_number() OVER (PARTITION BY source "
+            "ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents) "
+            "WHERE rank <= 2"
+        ),
+        "sessionize_events": (
+            "WITH flagged AS ("
+            "SELECT user_id, event_id, ts, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END "
+            "AS new_session FROM events WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY ts, event_id)), "
+            "sessions AS (SELECT user_id, event_id, ts, value, "
+            "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "min(ts) AS session_start, max(ts) AS session_end, "
+            "round(sum(value), 6) AS total_value "
+            "FROM sessions GROUP BY user_id, session_seq"
         ),
         "multimodal_image_meta": (
             "SELECT doc_id, length(text) AS byte_len, "

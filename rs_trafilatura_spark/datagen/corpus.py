@@ -54,6 +54,9 @@ _FAMILIES = (
 _FAMILY_NAMES = tuple(f for f, _ in _FAMILIES)
 _FAMILY_WEIGHTS = tuple(w for _, w in _FAMILIES)
 
+# bump when family templates change: bench corpus caches key on this
+GENERATOR_VERSION = 2
+
 _EPOCH = datetime(2026, 1, 1)
 _N_HOSTS = 100
 _HOST_WEIGHTS = tuple(1.0 / k for k in range(1, _N_HOSTS + 1))  # zipf(1)

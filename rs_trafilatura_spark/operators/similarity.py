@@ -54,7 +54,11 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
 
 # --- LSH ANN ------------------------------------------------------------------------
 
-_N_PLANES = 12
+# Default plane count targets bucket occupancy ~ n/2^planes; callers should
+# size it so buckets hold >= k candidates (6 planes = 64 buckets works for
+# 10^2..10^4 rows; at 10^9+ rows use 16-20 planes and write the table
+# bucketed by signature so probes become partition-pruned scans).
+_N_PLANES = 6
 
 
 def _planes(dim: int, n_planes: int = _N_PLANES, seed: str = "ann") -> np.ndarray:
@@ -78,9 +82,11 @@ def lsh_bucket_expr(dim: int, n_planes: int = _N_PLANES):
 
 
 def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
-             n_planes: int = _N_PLANES) -> DataFrame:
-    """Approximate top-k: probe only the query's LSH bucket, then exact
-    cosine within it.  Recall grows with multi-probe (flip one bit)."""
+             n_planes: int = _N_PLANES, probe_bits: int = 2,
+             exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket plus all buckets
+    within ``probe_bits`` Hamming distance, then exact cosine within the
+    candidate set.  Recall/cost tradeoff = (n_planes, probe_bits)."""
     dim = len(query_vec)
     planes = _planes(dim, n_planes)
     qsig = 0
@@ -88,8 +94,14 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     for i in range(n_planes):
         if float(planes[i] @ qv) > 0:
             qsig |= 1 << i
-    # multi-probe: exact bucket + all 1-bit-flip neighbors
-    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    probe_sigs = {qsig}
+    if probe_bits >= 1:
+        probe_sigs.update(qsig ^ (1 << i) for i in range(n_planes))
+    if probe_bits >= 2:
+        probe_sigs.update(
+            qsig ^ (1 << i) ^ (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        )
     bucketed = embeddings.withColumn("_sig", lsh_bucket_expr(dim, n_planes))
-    cands = bucketed.filter(F.col("_sig").isin(probe_sigs)).drop("_sig")
-    return cosine_topk(cands, query_vec, k)
+    cands = bucketed.filter(F.col("_sig").isin(list(probe_sigs))).drop("_sig")
+    return cosine_topk(cands, query_vec, k, exclude_id=exclude_id)

@@ -1,0 +1,50 @@
+"""Window-function operators the surrounding pipeline needs (SURVEY.md §2.5
+notes the reference has none in-kernel; these are the corpus-side
+equivalents: per-key top-k and event sessionization)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def topk_docs_per_source(documents: DataFrame, k: int = 2) -> DataFrame:
+    """Longest-k documents per source — Window.partitionBy + row_number.
+    Ties broken by doc_id for determinism."""
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        documents.select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "n_chars")
+    )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Classic sessionization: lag(ts) per user -> new-session flag on
+    gap > threshold -> running sum = session id; then per-session aggregates.
+    One shuffle on user_id; the windows reuse its partitioning."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w_user)
+    with_flag = events.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), 1)
+        .otherwise(0).alias("new_session"),
+    )
+    with_session = with_flag.withColumn(
+        "session_seq", F.sum("new_session").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    )
+    return (
+        with_session.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )

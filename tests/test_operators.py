@@ -1,0 +1,101 @@
+"""Corpus operators: dedup family, similarity search, text stats."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),
+        (1, "the quick brown fox jumps over the lazy dog again and again", "en", "s0"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat again and again", "en", "s0"),  # near dup of 0
+        (3, "completely different text about spark shuffle partitions and arrow batches", "en", "s1"),
+        (4, "another unrelated document mentioning parquet files and catalyst plans", "en", "s1"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+
+
+def test_dedup_exact(docs):
+    from rs_trafilatura_spark.operators.dedup import dedup_exact
+
+    out = {r["keep_id"]: r["n_copies"] for r in dedup_exact(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical
+    assert out[2] == 1 and out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    from rs_trafilatura_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = {(r["a_id"], r["b_id"]): r["est_jaccard_x1000"]
+             for r in lsh_candidate_pairs(docs, jaccard_threshold_x1000=300).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1000  # identical
+    assert (0, 2) in pairs  # near dup
+    assert (3, 4) not in pairs  # unrelated
+
+
+def test_minhash_deterministic_across_runs(docs):
+    from rs_trafilatura_spark.operators.dedup import minhash_signatures
+
+    a = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    assert a == b
+
+
+def test_simhash_near_dups(docs):
+    from rs_trafilatura_spark.operators.dedup import simhash_fingerprints
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]  # identical text, identical fingerprint
+    ham_02 = bin((fp[0] ^ fp[2]) & ((1 << 64) - 1)).count("1")
+    ham_03 = bin((fp[0] ^ fp[3]) & ((1 << 64) - 1)).count("1")
+    assert ham_02 < ham_03  # near dup closer than unrelated
+
+
+def test_ngram_jaccard(docs):
+    from rs_trafilatura_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a_id"], r["b_id"]): r["jac_x1000"]
+             for r in ngram_jaccard_pairs(docs, threshold_x1000=100).collect()}
+    assert pairs[(0, 1)] == 1000
+    assert 500 < pairs[(0, 2)] < 1000
+
+
+def test_ann_recall_vs_bruteforce(spark):
+    from rs_trafilatura_spark.operators.similarity import ann_topk, cosine_topk
+
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    row = embs.filter(F.col("vec_id") == 1).first()
+    q = [float(x) for x in row["embedding"]]
+    exact = [r["vec_id"] for r in cosine_topk(embs, q, k=10, exclude_id=1).collect()]
+    approx = [r["vec_id"] for r in ann_topk(embs, q, k=10).collect()]
+    # multi-probe LSH should recover a reasonable share of the exact top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"ANN recall too low: {overlap}/10 ({approx} vs {exact})"
+
+
+def test_language_id_stoplists(spark):
+    from rs_trafilatura_spark.operators.textstats import language_id
+
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat and it is a fine day for the cat", "en", "s"),
+         (1, "der hund ist nicht mit der katze und das ist ein problem", "de", "s")],
+        ["doc_id", "text", "lang", "source"],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in language_id(df).collect()}
+    assert out[0] == "en" and out[1] == "de"
+
+
+def test_multimodal_plumbing(spark):
+    from rs_trafilatura_spark.operators.multimodal import (
+        decode_image_real,
+        documents_as_fake_images,
+        extract_image_metadata,
+    )
+
+    docs = spark.createDataFrame([(0, "hello bytes", "en", "s")],
+                                 ["doc_id", "text", "lang", "source"])
+    out = extract_image_metadata(documents_as_fake_images(docs)).collect()[0]
+    assert out["byte_len"] == 11 and out["format_guess"] == "unknown"
+    with pytest.raises(NotImplementedError):
+        decode_image_real(b"\x89PNG....")
