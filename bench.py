@@ -47,9 +47,16 @@ def main() -> None:
 
     from rs_trafilatura_spark.datagen.corpus import GENERATOR_VERSION
 
-    corpus = f"/tmp/rs_traf_bench_corpus_v{GENERATOR_VERSION}_{N_PAGES}_{SEED}"
+    # fixed file count, independent of this run's CPUS: a parquet file is
+    # one row group here, and a row group is the real split unit — byte
+    # splits below row-group size don't create parallelism.  256 files =
+    # 16 waves at 16 cores, enough to smooth heavy-tail pages.
+    n_files = 256
+    corpus = (
+        f"/tmp/rs_traf_bench_corpus_v{GENERATOR_VERSION}_{N_PAGES}_{SEED}_p{n_files}"
+    )
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
-        materialize_corpus(spark, corpus, N_PAGES, SEED, partitions=CPUS * 4)
+        materialize_corpus(spark, corpus, N_PAGES, SEED, partitions=n_files)
 
     opts = Options(deduplicate=True)
     timings: dict[str, float] = {}

@@ -133,6 +133,15 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         )
 
     if content_node is not None:
+        # precision mode: drop trailing headings with no content after them
+        # (extractor/pruning.rs:185-198)
+        if opts.favor_precision:
+            for child in reversed(list(content_node.children)):
+                if child.tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+                    child.drop_tree()
+                else:
+                    break
+
         text, spans = run(content_node)
 
         # ancestor walk-up: 2 levels, parent must carry 2x the text

@@ -1,0 +1,100 @@
+"""End-to-end training-data curation: the composition a 100 TB pretraining
+pipeline actually runs over crawled pages.
+
+    pages -> extraction kernel -> quality gate -> language gate ->
+    exact dedup (fingerprint) -> near-dup marking (MinHash-LSH) -> corpus
+
+Each stage is a narrow DataFrame transform; the only shuffles are the two
+dedup aggregations, both on fixed-width keys (md5 fingerprint / LSH
+buckets), never on document text.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..options import DEFAULT_OPTIONS, Options
+from .job import run_extraction
+
+
+def curate_pages(
+    spark: SparkSession,
+    pages: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    min_quality: float = 0.5,
+    min_chars: int = 200,
+    languages: Optional[tuple[str, ...]] = None,
+    near_dup_jaccard_x1000: int = 800,
+) -> DataFrame:
+    """Return the curated corpus with a `drop_reason` column (null = kept);
+    keeping rejects with reasons makes the pipeline auditable — at scale you
+    write both partitions and diff counts per reason."""
+    extracted = run_extraction(spark, pages, options)
+
+    with_reason = extracted.withColumn(
+        "drop_reason",
+        F.when(F.col("stage") == "empty", F.lit("empty"))
+        .when(F.length("content_text") < min_chars, F.lit("too_short"))
+        .when(F.col("extraction_quality") < min_quality, F.lit("low_quality"))
+        .when(
+            F.lit(languages is not None)
+            & ~F.coalesce(F.col("language"), F.lit("")).isin(
+                *(languages or ("",))
+            ),
+            F.lit("language"),
+        )
+        .otherwise(F.lit(None).cast("string")),
+    )
+
+    # exact dedup: first url (by sort) per fingerprint survives
+    w = Window.partitionBy("fingerprint").orderBy("url")
+    deduped = with_reason.withColumn(
+        "_rank",
+        F.when(F.col("drop_reason").isNotNull() | F.col("fingerprint").isNull(), 1)
+        .otherwise(F.row_number().over(w)),
+    ).withColumn(
+        "drop_reason",
+        F.when(
+            F.col("drop_reason").isNull() & (F.col("_rank") > 1),
+            F.lit("exact_duplicate"),
+        ).otherwise(F.col("drop_reason")),
+    ).drop("_rank")
+
+    return deduped
+
+
+def mark_near_duplicates(curated: DataFrame,
+                         jaccard_threshold_x1000: int = 800) -> DataFrame:
+    """LSH near-dup pass over the KEPT rows: lower url in each detected
+    pair survives; others get drop_reason=near_duplicate.  Candidates come
+    from the band-bucket equi-join (operators/dedup.py), so cost scales
+    with bucket collisions, not corpus^2."""
+    from ..operators.dedup import lsh_candidate_pairs
+
+    kept = curated.filter(F.col("drop_reason").isNull())
+    docs = kept.select(
+        F.xxhash64("url").alias("doc_id"), F.col("content_text").alias("text")
+    )
+    pairs = lsh_candidate_pairs(docs, jaccard_threshold_x1000)
+    losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
+    return curated.join(
+        losers,
+        F.xxhash64(curated["url"]) == losers["_loser"],
+        "left",
+    ).withColumn(
+        "drop_reason",
+        F.when(
+            F.col("drop_reason").isNull() & F.col("_loser").isNotNull(),
+            F.lit("near_duplicate"),
+        ).otherwise(F.col("drop_reason")),
+    ).drop("_loser")
+
+
+def curation_report(curated: DataFrame) -> DataFrame:
+    return (
+        curated.groupBy(F.coalesce("drop_reason", F.lit("KEPT")).alias("outcome"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+    )

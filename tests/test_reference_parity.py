@@ -167,3 +167,20 @@ def test_dedup_option_thresholds():
     html = wrap("<article>" + f"<p>{short}</p>" * 5 + f"<p>{PADDING}</p></article>")
     r = extract(html, Options(deduplicate=True))
     assert r["content_text"].count(short) == 5
+
+
+def test_trailing_heading_removed_in_precision():
+    html = wrap(
+        f"<article><p>CONTENT {PADDING}</p><h2>TRAILING_HEAD</h2></article>"
+    )
+    r = extract(html, Options(favor_precision=True))
+    assert "TRAILING_HEAD" not in r["content_text"]
+    # non-trailing heading (followed by content) is preserved
+    html2 = wrap(
+        f"<article><h2>MID_HEAD</h2><p>CONTENT {PADDING}</p></article>"
+    )
+    r2 = extract(html2, Options(favor_precision=True))
+    assert "MID_HEAD" in r2["content_text"]
+    # default mode keeps trailing headings
+    r3 = extract(html)
+    assert "TRAILING_HEAD" in r3["content_text"]
