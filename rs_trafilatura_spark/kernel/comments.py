@@ -37,15 +37,19 @@ def find_comment_section(doc: Document) -> Optional[Element]:
     return best
 
 
-def extract_comments(doc: Document, opts: Options) -> Optional[str]:
-    """Comment text via the filtered traversal with comment classes treated
-    as content; dropped below min_output_comm_size (extract.rs:1123-1133)."""
+def extract_comments(doc: Document, opts: Options) -> tuple[Optional[str], Optional[str]]:
+    """(comments_text, comments_html) via the filtered traversal with
+    comment classes treated as content; dropped below min_output_comm_size
+    (extract.rs:1123-1133)."""
+    from .traversal import extract_filtered_html
+
     section = find_comment_section(doc)
     if section is None:
-        return None
+        return None, None
     text, _spans = extract_filtered_text(
         section, opts, filter_named_boilerplate=True, comments_are_content=True
     )
     if len(text) < opts.min_output_comm_size:
-        return None
-    return text
+        return None, None
+    html = extract_filtered_html(section, opts, comments_are_content=True) or None
+    return text, html

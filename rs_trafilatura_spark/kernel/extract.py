@@ -18,6 +18,7 @@ from typing import Optional
 
 from ..dom import Document, Element, select
 from ..functions.textnorm import clean_text
+from ..functions.urlutils import extract_hostname
 from ..options import DEFAULT_OPTIONS, Options
 from .cleaning import doc_cleaning
 from .content_select import find_main_content_node
@@ -284,10 +285,11 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
 
     # 11. comments (extract.rs:379-383); forum profiles force inclusion
     comments_text: Optional[str] = None
+    comments_html: Optional[str] = None
     if opts.include_comments or comments_are_content:
         from .comments import extract_comments
 
-        comments_text = extract_comments(doc, opts)
+        comments_text, comments_html = extract_comments(doc, opts)
 
     # 12. dedup (html_processing.rs:694-715; per-document scope by default)
     if opts.deduplicate and text:
@@ -363,12 +365,12 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         "content_html": content_html,
         "content_markdown": content_markdown,
         "comments_text": comments_text,
-        "comments_html": None,
+        "comments_html": comments_html,
         "images": images,
         "title": meta.get("title"),
         "author": meta.get("author"),
         "url": meta.get("url") or opts.url,
-        "hostname": meta.get("hostname"),
+        "hostname": meta.get("hostname") or (extract_hostname(opts.url) if opts.url else None),
         "description": meta.get("description"),
         "sitename": meta.get("sitename"),
         "date": meta.get("date"),
