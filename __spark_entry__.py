@@ -32,6 +32,12 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     """Ship the package to executor Python workers (the spark-submit
     --py-files mechanism, applied at runtime since the driver owns the
     session).  Idempotent per SparkContext."""
+    # timestamps must compare UTC-naive against the DuckDB oracle regardless
+    # of how the driver configured its session (runtime-settable conf)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     sc = spark.sparkContext
     key = sc.applicationId
     if key in _PYFILES_SHIPPED:
@@ -52,7 +58,15 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     _PYFILES_SHIPPED.add(key)
 
 
+def _utc(spark: SparkSession) -> None:
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
@@ -243,6 +257,7 @@ def q_topk_per_source(spark, sf_dir):
 def q_sessionize_events(spark, sf_dir):
     from rs_trafilatura_spark.operators.windows import sessionize_events
 
+    _utc(spark)
     return sessionize_events(
         spark.read.parquet(f"{sf_dir}/events.parquet"), gap_minutes=30
     )

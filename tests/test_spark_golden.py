@@ -111,3 +111,23 @@ def test_output_schema_stable(extracted):
     from rs_trafilatura_spark.plans import OUTPUT_SCHEMA
 
     assert extracted.schema == OUTPUT_SCHEMA
+
+
+def test_salted_host_agg_matches_direct(spark):
+    """Two-stage salted aggregation == direct groupBy (the skew recipe)."""
+    from rs_trafilatura_spark.plans import salted_host
+
+    pages = generate_pages_df(spark, 150).withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    direct = {
+        r["host"]: r["n"]
+        for r in pages.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    salted = (
+        pages.withColumn("skey", salted_host(F.col("host"), F.col("url")))
+        .groupBy("skey").agg(F.count("*").alias("n1"))
+        .withColumn("host", F.split(F.col("skey"), "#")[0])
+        .groupBy("host").agg(F.sum("n1").alias("n"))
+    )
+    assert {r["host"]: r["n"] for r in salted.collect()} == direct
