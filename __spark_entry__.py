@@ -28,16 +28,20 @@ _EPOCH_2026 = 1767225600  # 2026-01-01T00:00:00Z
 _PYFILES_SHIPPED: set[str] = set()
 
 
-def _ensure_pyfiles(spark: SparkSession) -> None:
-    """Ship the package to executor Python workers (the spark-submit
-    --py-files mechanism, applied at runtime since the driver owns the
-    session).  Idempotent per SparkContext."""
-    # timestamps must compare UTC-naive against the DuckDB oracle regardless
-    # of how the driver configured its session (runtime-settable conf)
+def _utc(spark: SparkSession) -> None:
+    """Timestamps must compare UTC-naive against the DuckDB oracle
+    regardless of how the driver configured its session."""
     try:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to executor Python workers (the spark-submit
+    --py-files mechanism, applied at runtime since the driver owns the
+    session).  Idempotent per SparkContext."""
+    _utc(spark)
     sc = spark.sparkContext
     key = sc.applicationId
     if key in _PYFILES_SHIPPED:
@@ -56,13 +60,6 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
                         zf.write(full, rel)
     sc.addPyFile(zip_path)
     _PYFILES_SHIPPED.add(key)
-
-
-def _utc(spark: SparkSession) -> None:
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
