@@ -53,7 +53,20 @@ def make_extract_batches(opts: Options):
 
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # heavy imports inside the worker, once per process
-        from ..kernel.extract import extract_bytes
+        from ..kernel.extract import _empty_result, extract_bytes
+
+        def safe_extract(url: str, html) -> dict:
+            # a single pathological page must never fail the task: at
+            # 10^12 documents *something* will hit an unforeseen code path;
+            # degrade to an empty row carrying the error as lineage
+            try:
+                return extract_bytes(bytes(html), replace(opts, url=url))
+            except Exception as exc:  # noqa: BLE001 - deliberate broad guard
+                res = _empty_result(
+                    [f"kernel error: {type(exc).__name__}: {exc}"[:500]]
+                )
+                res["stage"] = "error"
+                return res
 
         for pdf in batches:
             urls = pdf["url"].tolist()
@@ -62,8 +75,7 @@ def make_extract_batches(opts: Options):
             ts = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * n
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * n
             results = [
-                extract_bytes(bytes(html), replace(opts, url=url))
-                for url, html in zip(urls, htmls)
+                safe_extract(url, html) for url, html in zip(urls, htmls)
             ]
             # columnar assembly (dict-of-lists) — cheaper than row dicts
             data: dict = {"url": urls, "warc_ts": ts}

@@ -131,3 +131,43 @@ def test_salted_host_agg_matches_direct(spark):
         .groupBy("host").agg(F.sum("n1").alias("n"))
     )
     assert {r["host"]: r["n"] for r in salted.collect()} == direct
+
+
+def test_kernel_error_degrades_to_row(spark, monkeypatch):
+    """A page that crashes the kernel yields stage='error', not a dead task."""
+    import importlib
+
+    # attribute access resolves to the extract() FUNCTION re-exported by the
+    # kernel package, so fetch the module through importlib
+    kx = importlib.import_module("rs_trafilatura_spark.kernel.extract")
+    from rs_trafilatura_spark.plans import run_extraction
+
+    pages = generate_pages_df(spark, 8)
+    # poison one row: html that decodes but has a NUL-bomb the kernel chokes
+    # on is hard to craft, so simulate via a page whose url triggers a raise
+    # inside the batch path by monkeypatching at the WORKER via a wrapper df:
+    # simplest real-world probe — html=None-ish empty binary is handled, so
+    # instead assert the guard exists by running a normal job and checking
+    # no 'error' stage appears, then drive the guard directly in-process.
+    out = run_extraction(spark, pages)
+    assert out.filter(F.col("stage") == "error").count() == 0
+
+    # in-process guard check (same function the workers run)
+    from rs_trafilatura_spark.plans.job import make_extract_batches
+    import pandas as pd
+
+    fn = make_extract_batches(OPTS)
+    real = kx.extract_bytes
+
+    def boom(html, opts):
+        raise RuntimeError("synthetic kernel failure")
+
+    monkeypatch.setattr(kx, "extract_bytes", boom)
+    pdf = pd.DataFrame({
+        "url": ["https://x/1"], "warc_ts": [None],
+        "html": [b"<html><body><p>x</p></body></html>"], "lang": ["en"],
+    })
+    result = list(fn(iter([pdf])))[0]
+    monkeypatch.setattr(kx, "extract_bytes", real)
+    assert result["stage"].iloc[0] == "error"
+    assert "synthetic kernel failure" in result["warnings"].iloc[0][0]
