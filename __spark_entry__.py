@@ -245,6 +245,21 @@ def q_multimodal_image_meta(spark, sf_dir):
 
 
 
+def q_page_type_features(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.features import page_type_features
+
+    out = page_type_features(_wrap_roundtrip(_docs(spark, sf_dir)))
+    # project a few stable slots so the check is meaningful but compact
+    return out.select(
+        "url",
+        F.element_at("features", 10).alias("f_article_path"),
+        F.element_at("features", 15).alias("f_p_count"),
+        F.element_at("features", 19).alias("f_has_article"),
+        F.size("features").alias("n_features"),
+    )
+
+
 def q_topk_per_source(spark, sf_dir):
     from rs_trafilatura_spark.operators.windows import topk_docs_per_source
 
@@ -284,6 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "page_type_features": q_page_type_features,
         "topk_per_source": q_topk_per_source,
         "sessionize_events": q_sessionize_events,
     }
@@ -370,6 +386,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
             "WHERE vec_id != 0 "
             "ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+        ),
+        "page_type_features": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "1.0 AS f_article_path, "
+            "CASE WHEN length(text) > 20 THEN 1.0 ELSE 0.0 END AS f_p_count, "
+            "1.0 AS f_has_article, 89 AS n_features FROM documents"
         ),
         "topk_per_source": (
             "SELECT source, rank, doc_id, n_chars FROM ("

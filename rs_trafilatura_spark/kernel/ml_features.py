@@ -1,0 +1,310 @@
+"""89-slot numeric feature vector for page-type classification
+(reference page_type/ml.rs:54-424).
+
+The reference feeds these into a 200-tree XGBoost ensemble that lives in an
+external crate whose weights are not public, so the engine ships the
+FEATURE EXTRACTION faithfully (fixed-width Float64 array, vectorizable into
+a numpy matrix per Arrow batch) and leaves model scoring pluggable — the
+heuristic stages 1-2 (page_type.py) decide classification today.
+
+Layout:
+- f[0..14]:  URL pattern signals
+- f[14..63]: HTML structural signals
+- f[63..73]: enhanced structural features (skipped for >500 KB docs,
+             matching the reference's size guard, ml.rs:178-180)
+- f[73..81]: DOM vocabulary densities
+- f[81..89]: collection-specific features
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import Optional
+from urllib.parse import urlparse
+
+from ..dom import Document, Element, select
+from .page_type import (
+    _ARTICLE_PATHS,
+    _CATEGORY_PATHS,
+    _DOCS_HOSTS,
+    _DOCS_PATHS,
+    _FORUM_HOSTS,
+    _FORUM_PATHS,
+    _LISTING_PATHS,
+    _PRODUCT_PATHS,
+    _SERVICE_PATHS,
+    _SERVICE_SUFFIXES,
+)
+
+N_FEATURES = 89
+_MAX_ENHANCED_BYTES = 500_000
+
+_BLOG_SLUG_RE = re.compile(r"/\d{4}/\d{2}/|/20\d{2}-|-20\d{2}")
+_PRODUCT_COUNT_RE = re.compile(
+    r"showing\s+\d+|\b\d+\s+(results|items|products)\b"
+)
+_CTA_MARKERS = ("get started", "free trial", "contact us", "sign up",
+                "try free", "get pricing", "book a", "schedule")
+_COMMERCIAL = ("price", "buy", "cart", "shop", "order", "shipping",
+               "delivery", "stock", "sale", "discount", "offer", "deal",
+               "checkout", "payment", "warranty", "returns", "refund")
+_CONTENT_W = ("posted", "author", "published", "updated", "comments",
+              "share", "tweet", "read", "article", "blog", "opinion",
+              "editor", "journalist", "source", "according")
+_TECH_W = ("api", "function", "parameter", "returns", "example", "syntax",
+           "reference", "deprecated", "version", "module", "class",
+           "method", "interface", "configuration", "install")
+_FORUM_W = ("reply", "thread", "post", "member", "joined", "reputation",
+            "moderator", "admin", "quote", "likes", "views", "topic",
+            "answered", "solution", "vote", "upvote")
+_SIG_KEYWORDS = ("item", "card", "product", "post", "entry", "result",
+                 "row", "cell")
+
+
+def _shallow_containers(body: Element, max_depth: int = 3):
+    """body children to depth 3 (the reference's 3-level selector)."""
+    level = list(body.children)
+    for _ in range(max_depth):
+        next_level = []
+        for el in level:
+            yield el
+            next_level.extend(el.children)
+        level = next_level
+
+
+def extract_ml_features(doc: Document, url: str = "") -> list[float]:
+    f = [0.0] * N_FEATURES
+    url_lower = (url or "").lower()
+    try:
+        parsed = urlparse(url_lower)
+        domain = parsed.hostname or ""
+        path = parsed.path or "/"
+    except ValueError:
+        domain, path = "", "/"
+
+    # --- f[0..14]: URL patterns -------------------------------------------------
+    f[0] = 1.0 if any(h in domain for h in _FORUM_HOSTS) else 0.0
+    f[1] = 1.0 if any(p in path for p in _FORUM_PATHS) else 0.0
+    f[2] = 1.0 if any(p in url_lower for p in _FORUM_PATHS) else 0.0
+    f[3] = 1.0 if any(h in domain for h in _DOCS_HOSTS) else 0.0
+    f[4] = 1.0 if any(p in path for p in _DOCS_PATHS) else 0.0
+    f[5] = 1.0 if any(p in path for p in _PRODUCT_PATHS) else 0.0
+    f[6] = 1.0 if any(p in path for p in _CATEGORY_PATHS) else 0.0
+    f[7] = 1.0 if any(p in path for p in _SERVICE_PATHS) else 0.0
+    f[8] = 1.0 if any(s in url_lower for s in _SERVICE_SUFFIXES) else 0.0
+    f[9] = 1.0 if any(p in path for p in _ARTICLE_PATHS) else 0.0
+    f[10] = 1.0 if _BLOG_SLUG_RE.search(url_lower) else 0.0
+    path_trimmed = path.rstrip("/")
+    f[11] = 1.0 if any(
+        path_trimmed.endswith(p.rstrip("/")) and p.rstrip("/")
+        for p in _LISTING_PATHS
+    ) else 0.0
+    f[12] = 1.0 if any(p in path for p in _LISTING_PATHS) else 0.0
+    f[13] = 1.0 if ("shop." in domain or "store." in domain) else 0.0
+
+    body = doc.body
+    root = doc.root
+
+    # --- f[14..63]: HTML structure -----------------------------------------------
+    p_elements = select(root, "p")
+    p_lens = [len(p.text_content().strip()) for p in p_elements]
+    substantive = [n for n in p_lens if n > 20]
+    f[14] = float(len(substantive))
+    f[15] = sum(substantive) / len(substantive) if substantive else 0.0
+    headings = select(root, "h1, h2, h3, h4, h5, h6")
+    f[16] = float(len(headings))
+    h2_count = sum(1 for h in headings if h.tag == "h2")
+    body_text = body.text_content()
+    body_len = len(body_text)
+    f[17] = body_len / h2_count if h2_count else 0.0
+    f[18] = 1.0 if select(root, "article") else 0.0
+    f[19] = 1.0 if select(root, "time") else 0.0
+    f[20] = 1.0 if select(root, "main") else 0.0
+    f[21] = 1.0 if select(root, "aside") else 0.0
+    f[22] = 1.0 if select(
+        root, "meta[name='author'], meta[property='article:author'], [class*='author']"
+    ) else 0.0
+
+    for s in select(root, "script[type='application/ld+json']"):
+        t = s.text
+        if '"Article"' in t or '"NewsArticle"' in t or '"BlogPosting"' in t:
+            f[23] = 1.0
+        if '"Product"' in t:
+            f[24] = 1.0
+        if '"FAQPage"' in t:
+            f[25] = 1.0
+        if '"CollectionPage"' in t or '"OfferCatalog"' in t:
+            f[26] = 1.0
+        if '"ItemList"' in t:
+            f[27] = 1.0
+        if '"LocalBusiness"' in t:
+            f[28] = 1.0
+        if '"Service"' in t:
+            f[29] = 1.0
+        if '"AggregateOffer"' in t:
+            f[30] = 1.0
+
+    og_type = ""
+    for m in select(root, "meta[property='og:type']"):
+        og_type = (m.get("content") or "").lower()
+        break
+    f[31] = 1.0 if "product" in og_type else 0.0
+    f[32] = 1.0 if og_type == "article" else 0.0
+    f[33] = 1.0 if og_type == "website" else 0.0
+    f[34] = 1.0 if select(
+        root, "[class*='product-grid'], [class*='product-list'], [class*='product-card']"
+    ) else 0.0
+    f[35] = 1.0 if select(
+        root, "[class*='add-to-cart'], [class*='addtocart'], [class*='buy-now']"
+    ) else 0.0
+    f[36] = float(len(select(
+        root, "[class*='product-card'], [class*='product-tile'], [class*='product-item']"
+    )))
+    f[37] = 1.0 if select(
+        root, "link[rel='next'], [class*='pagination'], [class*='pager']"
+    ) else 0.0
+    f[38] = float(len(select(root, "code, pre")))
+    f[39] = 1.0 if select(
+        root, "[class*='docs-sidebar'], [class*='doc-sidebar'], "
+              "[class*='docs-nav'], [class*='table-of-contents']"
+    ) else 0.0
+
+    links = select(root, "a")
+    p_words = sum(len(p.text_content().split()) for p in p_elements)
+    f[40] = len(links) / p_words if p_words else 0.0
+    f[41] = float(p_words)
+    f[42] = float(len(select(
+        root, "[class*='grid'], [class*='col-'], [class*='column'], [class*='card']"
+    )))
+    f[43] = float(len(select(root, "svg")))
+    cta = 0
+    for el in select(root, "button, a"):
+        t = el.text_content().lower()
+        if any(m in t for m in _CTA_MARKERS):
+            cta += 1
+    f[44] = float(cta)
+    f[45] = 1.0 if select(root, "[class*='hero']") else 0.0
+    f[46] = 1.0 if select(root, "[class*='testimonial']") else 0.0
+    f[47] = 1.0 if select(root, "[class*='pricing']") else 0.0
+    f[48] = 1.0 if select(root, "[class*='feature']") else 0.0
+    f[49] = 1.0 if select(root, "[class*='breadcrumb']") else 0.0
+    f[50] = float(len(select(root, "form")))
+    f[51] = float(len(select(root, "img")))
+    f[52] = float(len(select(root, "ul, ol")))
+    f[53] = float(len(select(root, "table")))
+    f[54] = float(len(select(root, "nav")))
+    f[55] = float(len(select(root, "section")))
+    f[56] = float(len(select(root, "button")))
+    f[57] = float(len(select(root, "input")))
+    f[58] = float(body_len)
+    f[59] = float(len({a.get("href") for a in links if a.get("href")}))
+    f[60] = float(len(select(root, "[class*='comment']")))
+    f[61] = float(len(select(root, "[class*='post']")))
+    f[62] = float(len(select(root, "[class*='message']")))
+
+    # --- f[63..]: size guard (ml.rs:178-180 — changes output, replicate) ---------
+    if body_len > _MAX_ENHANCED_BYTES:
+        return f
+
+    # repeated sibling structure
+    max_repeated, parents_with_repeats = 0, 0
+    for el in _shallow_containers(body):
+        if len(el.children) < 3:
+            continue
+        counts = Counter(c.get("class") for c in el.children if c.get("class"))
+        if counts:
+            top = max(counts.values())
+            if top >= 3:
+                parents_with_repeats += 1
+                max_repeated = max(max_repeated, top)
+    f[63] = float(max_repeated)
+    f[64] = float(parents_with_repeats)
+
+    f[65] = float(body_text.count("$") + body_text.count("€") + body_text.count("£"))
+    f[66] = f[51] / (body_len / 1000.0) if body_len else 0.0
+
+    level_counts = Counter(h.tag for h in headings)
+    if level_counts:
+        f[67] = max(level_counts.values()) / len(level_counts)
+    body_lower = body_text.lower()
+    f[68] = 1.0 if "breadcrumblist" in body_lower else 0.0
+
+    link_text_counts = Counter(
+        a.text_content().strip().lower() for a in links
+        if len(a.text_content().strip()) > 3
+    )
+    f[69] = float(sum(1 for c in link_text_counts.values() if c >= 3))
+
+    # section link-density variance
+    ratios = []
+    for el in select(root, "section, article, div"):
+        text_len = len(el.text_content().strip())
+        if text_len > 50:
+            ratios.append(len(select(el, "a")) / text_len * 1000.0)
+    if len(ratios) >= 3:
+        mean = sum(ratios) / len(ratios)
+        f[70] = sum((r - mean) ** 2 for r in ratios) / len(ratios)
+
+    f[71] = 1.0 if select(root, "meta[name='robots'][content*='noindex']") else 0.0
+    f[72] = float(len([s for s in path.strip("/").split("/") if s]))
+
+    # --- f[73..81]: DOM vocabulary ---------------------------------------------------
+    sig_max, sig_parents = 0, 0
+    for el in _shallow_containers(body):
+        if len(el.children) < 3:
+            continue
+        sigs = Counter()
+        for c in el.children:
+            cls = c.get("class").lower()
+            kw = next((k for k in _SIG_KEYWORDS if k in cls), "")
+            sigs[f"{c.tag}|{kw}" if kw else c.tag] += 1
+        if sigs:
+            top = max(sigs.values())
+            if top >= 3:
+                sig_parents += 1
+                sig_max = max(sig_max, top)
+    f[73] = float(sig_max)
+    f[74] = float(sig_parents)
+
+    words = body_lower.split()
+    total_words = len(words)
+    if total_words:
+        wc = Counter(words)
+        f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
+        f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
+        f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
+        f[78] = sum(wc.get(w, 0) for w in _FORUM_W) / total_words
+
+    f[79] = float(max(link_text_counts.values(), default=0))
+    f[80] = f[69]
+
+    # --- f[81..89]: collection-specific -------------------------------------------------
+    f[81] = 1.0 if select(
+        root, "meta[property='og:type'][content*='product.group']"
+    ) else 0.0
+    f[82] = 1.0 if select(
+        root, "[class*='filter-sidebar'], [class*='filter-panel'], "
+              "[class*='filter-bar'], [class*='filter-menu']"
+    ) else 0.0
+    f[83] = 1.0 if select(
+        root, "[class*='sort-select'], [class*='sort-dropdown'], "
+              "[class*='sort-control'], [class*='sort-option']"
+    ) else 0.0
+    f[84] = 1.0 if _PRODUCT_COUNT_RE.search(body_lower) else 0.0
+    cards = select(
+        root, "[class*='product-card'], [class*='product-tile'], "
+              "[class*='product-item'], [class*='product-grid-item'], "
+              "[class*='grid-item'], [class*='collection-item']"
+    )
+    cards_with_price = sum(
+        1 for c in cards
+        if select(c, "[class*='price'], [class*='cost'], [class*='amount']")
+    )
+    f[85] = float(cards_with_price)
+    f[86] = 1.0 if ("collectionpage" in body_lower
+                    or "productcollection" in body_lower) else 0.0
+    f[87] = float(len(cards))
+    f[88] = cards_with_price / len(cards) if cards else 0.0
+
+    return f

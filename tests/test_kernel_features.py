@@ -189,3 +189,35 @@ def test_split_body_merge():
     assert r["stage"] == "split_body"
     assert "Split chunk paragraph 0" in r["content_text"]
     assert "Continuation paragraph 2" in r["content_text"]
+
+
+def test_ml_feature_vector_shape_and_signals():
+    from rs_trafilatura_spark.dom import Document
+    from rs_trafilatura_spark.kernel.ml_features import (
+        N_FEATURES,
+        extract_ml_features,
+    )
+
+    html = wrap(
+        f"<article><h1>T</h1><p>{PADDING}</p><time>now</time></article>"
+        "<div class='product-card'><span class='price'>$9</span></div>" * 3,
+        head="<script type='application/ld+json'>{\"@type\":\"NewsArticle\"}</script>",
+    )
+    f = extract_ml_features(Document(html), "https://x.example/blog/a")
+    assert len(f) == N_FEATURES
+    assert f[9] == 1.0      # /blog/ article path
+    assert f[18] == 1.0     # has <article>
+    assert f[19] == 1.0     # has <time>
+    assert f[23] == 1.0     # JSON-LD article type
+    assert f[36] == 3.0     # product cards
+    assert f[85] == 3.0 and f[88] == 1.0  # cards with price + ratio
+
+
+def test_ml_feature_size_guard():
+    from rs_trafilatura_spark.dom import Document
+    from rs_trafilatura_spark.kernel.ml_features import extract_ml_features
+
+    big = wrap("<article><p>" + "word " * 120_000 + "</p></article>")
+    f = extract_ml_features(Document(big), "https://x.example/blog/a")
+    # enhanced features skipped above 500 KB body text (ml.rs:178-180)
+    assert f[58] > 500_000 and f[63] == 0.0 and f[75] == 0.0
