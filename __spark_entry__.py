@@ -231,6 +231,18 @@ def q_ann_lsh_topk(spark, sf_dir):
                     exclude_id=0)
 
 
+def q_knn_join(spark, sf_dir):
+    from rs_trafilatura_spark.operators.similarity import knn_join_exact
+
+    return knn_join_exact(_embs(spark, sf_dir), k=3)
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    from rs_trafilatura_spark.operators.similarity import knn_join_lsh
+
+    return knn_join_lsh(_embs(spark, sf_dir), k=3)
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.multimodal import (
@@ -298,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "knn_join": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
         "multimodal_image_meta": q_multimodal_image_meta,
         "page_type_features": q_page_type_features,
         "topk_per_source": q_topk_per_source,
@@ -414,6 +428,21 @@ def oracle_sql() -> dict[str, str]:
             "min(ts) AS session_start, max(ts) AS session_end, "
             "round(sum(value), 6) AS total_value "
             "FROM sessions GROUP BY user_id, session_seq"
+        ),
+        "knn_join": (
+            "SELECT a_id, rank, b_id, cos_x1000 FROM ("
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "CAST(floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS BIGINT) "
+            "AS cos_x1000, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) DESC, "
+            "b.vec_id ASC) AS rank "
+            "FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id) "
+            "WHERE rank <= 3"
         ),
         "multimodal_image_meta": (
             "SELECT doc_id, length(text) AS byte_len, "

@@ -52,6 +52,65 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     )
 
 
+def knn_join_exact(embeddings: DataFrame, k: int = 3) -> DataFrame:
+    """Exact k-nearest-neighbors self-join: every vector's top-k by cosine.
+    Brute-force cross join — the CORRECTNESS baseline, viable to ~10^4 rows.
+    At corpus scale use ``knn_join_lsh``: candidates from bucket equi-joins.
+    Ties broken by neighbor id; sims integer-scaled for oracle comparison."""
+    from pyspark.sql import Window
+
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    a = embeddings.select(F.col("vec_id").alias("a_id"), emb.alias("a_vec"))
+    b = embeddings.select(F.col("vec_id").alias("b_id"), emb.alias("b_vec"))
+    pairs = a.crossJoin(b).filter(F.col("a_id") != F.col("b_id"))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
+    )
+    scored = pairs.select(
+        "a_id", "b_id", F.floor(cos * 1000).cast("long").alias("cos_x1000")
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.desc("cos_x1000"), F.asc("b_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "rank", "b_id", "cos_x1000")
+    )
+
+
+def knn_join_lsh(embeddings: DataFrame, k: int = 3,
+                 n_planes: int = 6) -> DataFrame:
+    """Approximate KNN join: candidates restricted to shared LSH buckets
+    (equi-join on the signature), then exact cosine + per-key top-k.
+    The cross product never materializes; cost tracks bucket collisions."""
+    from pyspark.sql import Window
+
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    sig = lsh_bucket_expr(dim, n_planes)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    tagged = embeddings.select(
+        "vec_id", emb.alias("vec"), sig.alias("_sig")
+    )
+    a = tagged.select(F.col("vec_id").alias("a_id"),
+                      F.col("vec").alias("a_vec"), "_sig")
+    b = tagged.select(F.col("vec_id").alias("b_id"),
+                      F.col("vec").alias("b_vec"), "_sig")
+    pairs = a.join(b, "_sig").filter(F.col("a_id") != F.col("b_id"))
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
+    )
+    scored = pairs.select(
+        "a_id", "b_id", F.floor(cos * 1000).cast("long").alias("cos_x1000")
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_x1000"), F.asc("b_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("a_id", "rank", "b_id", "cos_x1000")
+    )
+
+
 # --- LSH ANN ------------------------------------------------------------------------
 
 # Default plane count targets bucket occupancy ~ n/2^planes; callers should
