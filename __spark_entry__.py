@@ -422,11 +422,13 @@ def oracle_sql() -> dict[str, str]:
             "AS new_session FROM events WINDOW w AS "
             "(PARTITION BY user_id ORDER BY ts, event_id)), "
             "sessions AS (SELECT user_id, event_id, ts, value, "
-            "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM flagged) "
+            "CAST(sum(new_session) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS session_seq FROM flagged) "
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "min(ts) AS session_start, max(ts) AS session_end, "
-            "round(sum(value), 6) AS total_value "
+            "CAST(sum(CAST(value AS DECIMAL(38,6))) * 1000000 AS BIGINT) "
+            "AS total_value_x1e6 "
             "FROM sessions GROUP BY user_id, session_seq"
         ),
         "knn_join": (

@@ -202,11 +202,13 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
 
     # 9. fallback comparison + unconditional baseline rescue
     #    (extract.rs:171-226, fallback.rs:259-368)
+    # insufficient_words compares the word count against min_output_size
+    # (extract.rs:177,192: count_words(text, min_word_length) < min_output_size)
     needs_fallback = (
         opts.use_fallback_extraction
         and (
             len(text) < opts.min_extracted_len
-            or _count_words(text) < 50
+            or _count_words(text, opts.min_word_length) < opts.min_output_size
         )
     )
     if needs_fallback:
@@ -325,10 +327,13 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if len(text) > opts.max_extracted_len:
         text = text[: opts.max_extracted_len]
         warnings.append("Content truncated at max_extracted_len")
-    if text and len(text) < opts.min_output_size:
-        warnings.append("Extracted content below min_output_size")
-    if text and _count_words(text, opts.min_word_length) < 3:
-        warnings.append("Extracted content has very few words")
+    # min_output_size is a WORD-count threshold, min_extracted_len the char
+    # threshold (extract.rs:1095-1099)
+    if text and (
+        _count_words(text, opts.min_word_length) < opts.min_output_size
+        or len(text) < opts.min_extracted_len
+    ):
+        warnings.append("Insufficient content after extraction")
     if not text:
         stage = "empty"
         warnings.append("No content extracted")

@@ -39,12 +39,16 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     )
+    # total_value: sum as DECIMAL (order-independent, unlike float sums) and
+    # emit as a x1e6-scaled BIGINT so the value representation is identical
+    # across engines (doubles/decimals format differently; integers don't).
     return (
         with_session.groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(38,6)")) * 1000000)
+            .cast("long").alias("total_value_x1e6"),
         )
     )

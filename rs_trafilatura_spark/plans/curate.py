@@ -31,6 +31,9 @@ def curate_pages(
     """Return the curated corpus with a `drop_reason` column (null = kept);
     keeping rejects with reasons makes the pipeline auditable — at scale you
     write both partitions and diff counts per reason."""
+    # empty languages tuple means "no language filter", same as None —
+    # otherwise () would match nothing and drop every row
+    languages = languages or None
     extracted = run_extraction(spark, pages, options)
 
     with_reason = extracted.withColumn(
@@ -48,8 +51,12 @@ def curate_pages(
         .otherwise(F.lit(None).cast("string")),
     )
 
-    # exact dedup: first url (by sort) per fingerprint survives
-    w = Window.partitionBy("fingerprint").orderBy("url")
+    # exact dedup: first KEPT url (by sort) per fingerprint survives.
+    # Rows already gated out sort last so a too_short/low_quality copy can
+    # never claim rank 1 and shadow the surviving good copy.
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("drop_reason").isNotNull(), "url"
+    )
     deduped = with_reason.withColumn(
         "_rank",
         F.when(F.col("drop_reason").isNotNull() | F.col("fingerprint").isNull(), 1)

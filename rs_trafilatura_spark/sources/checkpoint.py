@@ -61,21 +61,50 @@ def run_extraction_checkpointed(
     options: Options = DEFAULT_OPTIONS,
     n_chunks: int = 8,
     target_partitions: Optional[int] = None,
+    verify_input_fingerprint: bool = False,
 ) -> dict:
     """Run extraction chunk-by-chunk with resume. Returns a run summary.
 
     The chunk column is a pure function of url, so a restarted run assigns
-    identical chunks (input fingerprint recorded per chunk for audit).
+    identical chunks — provided n_chunks is unchanged, which is enforced
+    against the manifest. ``verify_input_fingerprint=True`` additionally
+    recomputes each skipped chunk's url-fingerprint and refuses to skip a
+    chunk whose input changed (costs one extra scan of the skipped rows;
+    off by default since at scale resume exists to avoid rescans).
     """
     chunked = pages.withColumn(
         "_chunk", F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int")
     )
     done = completed_chunks(output_path)
+    # Chunk ids are only meaningful for the n_chunks they were computed
+    # with: resuming a k=8 run with k=16 would silently skip half of every
+    # old chunk and re-extract the rest. Refuse instead of corrupting.
+    for k, entry in done.items():
+        prev = entry.get("n_chunks")
+        if prev is not None and prev != n_chunks:
+            raise ValueError(
+                f"manifest chunk {k} was written with n_chunks={prev}, "
+                f"refusing to resume with n_chunks={n_chunks}; "
+                "delete the manifest (full restart) or rerun with the "
+                "original chunk count"
+            )
     summary = {"chunks_total": n_chunks, "chunks_skipped": len(done),
                "chunks_run": 0, "rows_written": 0}
 
     for k in range(n_chunks):
         if k in done:
+            if verify_input_fingerprint and "input_fingerprint" in done[k]:
+                actual = (
+                    chunked.filter(F.col("_chunk") == k)
+                    .select(F.xxhash64(F.col("url")).alias("h"))
+                    .agg(F.expr("bit_xor(h)").alias("f")).collect()[0]["f"]
+                )
+                if str(actual) != done[k]["input_fingerprint"]:
+                    raise ValueError(
+                        f"chunk {k} input changed since the manifest was "
+                        f"written (fingerprint {actual} != "
+                        f"{done[k]['input_fingerprint']}); refusing to skip"
+                    )
             continue
         t0 = time.time()
         chunk_df = chunked.filter(F.col("_chunk") == k).drop("_chunk")
@@ -99,6 +128,7 @@ def run_extraction_checkpointed(
         )
         _write_manifest_entry(output_path, {
             "chunk_id": k,
+            "n_chunks": n_chunks,
             "rows": n_rows,
             "input_fingerprint": str(fingerprint),
             "stages": stage_counts,

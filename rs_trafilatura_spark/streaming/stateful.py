@@ -8,10 +8,14 @@ times.  State = per-host counts of block hashes, held by
 ``applyInPandasWithState`` with a processing-time timeout so idle hosts
 expire.
 
-At 10^12 documents the grouping key (hostname) is zipfian — the group key
-used here is the SALTED host (plans.salted_host semantics) so one megasite
-cannot pin a single state partition; dedup within a salt bucket is a
-controlled approximation (documented, like any sharded dedup).
+At 10^12 documents the grouping key (hostname) is zipfian.  With
+``n_salts > 1`` the group key becomes the SALTED host
+(host + '#' + pmod(xxhash64(url), n_salts) — plans.salted_host semantics) so
+one megasite cannot pin a single state partition; dedup then happens within
+each salt bucket, a controlled approximation (a boilerplate block repeated R
+times is seen ~R/n_salts times per bucket, still far above the duplicate
+threshold for the banners this targets).  The default n_salts=1 keys by raw
+host: exact reference semantics, right for moderate-skew corpora.
 """
 
 from __future__ import annotations
@@ -44,6 +48,8 @@ STATE_SCHEMA = T.StructType([
 def _dedup_against_state(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # key[0] may be a salted host ("example.com#3"); report the raw host
+    raw_host = key[0].rsplit("#", 1)[0] if key[0] else key[0]
     if state.hasTimedOut:
         state.remove()
         return
@@ -72,7 +78,7 @@ def _dedup_against_state(
                     kept.append(block)
             out_rows.append({
                 "url": url,
-                "host": key[0],
+                "host": raw_host,
                 "content_text": "\n\n".join(kept),
                 "n_blocks_dropped": dropped,
             })
@@ -87,11 +93,18 @@ def _dedup_against_state(
     yield pd.DataFrame(out_rows, columns=[f.name for f in OUT_SCHEMA.fields])
 
 
-def host_dedup_stream(extracted_stream: DataFrame) -> DataFrame:
-    """extracted_stream must carry (url, hostname, content_text)."""
+def host_dedup_stream(extracted_stream: DataFrame,
+                      n_salts: int = 1) -> DataFrame:
+    """extracted_stream must carry (url, hostname, content_text).
+    n_salts > 1 shards megasites across salt buckets (see module doc)."""
+    host = F.coalesce(F.col("hostname"), F.lit("unknown"))
+    if n_salts > 1:
+        host = F.concat(
+            host, F.lit("#"),
+            F.pmod(F.xxhash64(F.col("url")), F.lit(n_salts)).cast("string"),
+        )
     keyed = extracted_stream.select(
-        F.coalesce(F.col("hostname"), F.lit("unknown")).alias("host"),
-        "url", "content_text",
+        host.alias("host"), "url", "content_text",
     )
     return keyed.groupBy("host").applyInPandasWithState(
         _dedup_against_state,

@@ -1,7 +1,7 @@
 """Local simulation of the driver's correctness gate: run every queries()
 entry on Spark and its oracle_sql() on DuckDB over the same parquet, compare
 row counts + order-insensitive values.  Usage:
-    python scripts/driver_sim.py [sf_dir]
+    python scripts/driver_sim.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ def norm(v):
     return str(v)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: tuple[str, ...] = ()) -> int:
     spark = get_spark(parallelism=8, driver_memory="8g")
     con = duckdb.connect()
     for t in TABLES:
@@ -43,6 +43,8 @@ def main(sf_dir: str) -> int:
     oracles = entry_mod.oracle_sql()
     failures = 0
     for name, fn in queries.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
@@ -93,4 +95,4 @@ def main(sf_dir: str) -> int:
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    sys.exit(min(main(sf), 1))
+    sys.exit(min(main(sf, tuple(sys.argv[2:])), 1))

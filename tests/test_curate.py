@@ -35,3 +35,41 @@ def test_curation_pipeline(spark):
     assert marked.count() == 120
     assert "drop_reason" in marked.columns
     curated.unpersist()
+
+
+def test_exact_dedup_gated_copy_cannot_shadow_good_copy(spark):
+    """A gated copy of a fingerprint group must not claim rank 1 and get the
+    surviving good copy dropped as exact_duplicate (ADVICE r1): same body
+    text (= same fingerprint) under a wrong-language wrapper, with a url
+    that sorts FIRST in the fingerprint window."""
+    body = ("Shared article body with plenty of substantive words to pass "
+            "every quality and length gate in the curation pipeline. " * 4)
+
+    def page(url: str, lang: str) -> tuple:
+        html = (f'<!doctype html><html lang="{lang}"><head><title>T</title>'
+                f"</head><body><article><p>{body}</p></article></body></html>")
+        return (url, html.encode("utf-8"), lang)
+
+    pages = spark.createDataFrame(
+        [page("https://0000.example/a", "zz"),  # gated (language), sorts first
+         page("https://zzzz.example/b", "en")],  # the good copy
+        "url string, html binary, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+
+    curated = curate_pages(
+        spark, pages, Options(deduplicate=True),
+        min_chars=120, languages=("en", "de"),
+    )
+    rows = {r["url"]: r["drop_reason"] for r in
+            curated.select("url", "drop_reason").collect()}
+    assert rows["https://0000.example/a"] == "language"
+    assert rows["https://zzzz.example/b"] is None  # not exact_duplicate
+
+
+def test_empty_languages_tuple_means_no_filter(spark):
+    pages = generate_pages_df(spark, 20)
+    with_filter = curate_pages(spark, pages, Options(), languages=())
+    dropped_lang = with_filter.filter(
+        F.col("drop_reason") == "language"
+    ).count()
+    assert dropped_lang == 0

@@ -16,8 +16,10 @@ def test_comments_extracted_when_enabled():
     html = wrap(
         f"<article><p>MAIN_TEXT {PADDING}</p></article>"
         "<div id='comments'>"
-        "<div class='comment'><p>FIRST_COMMENT insightful remark here.</p></div>"
-        "<div class='comment'><p>SECOND_COMMENT another reply follows.</p></div>"
+        "<div class='comment'><p>FIRST_COMMENT insightful remark here "
+        "with several more carefully chosen words.</p></div>"
+        "<div class='comment'><p>SECOND_COMMENT another reply follows "
+        "adding further discussion for the thread.</p></div>"
         "</div>"
     )
     r = extract(html, Options(include_comments=True))

@@ -64,9 +64,21 @@ def test_max_extracted_len_truncates():
 
 
 def test_min_output_size_warning():
+    # min_output_size is a word count (extract.rs:1095-1099): "Tiny." is one
+    # qualifying word, far below 50 -> insufficient-content warning
     html = wrap("<article><p>Tiny.</p></article>")
     r = extract(html, Options(min_output_size=50, use_fallback_extraction=False))
-    assert any("min_output_size" in w for w in r["warnings"])
+    assert any("Insufficient content" in w for w in r["warnings"])
+
+
+def test_min_output_size_counts_words_not_chars():
+    # 12 words of >=2 chars but >200 chars: words >= min_output_size=10
+    # and chars >= min_extracted_len -> no insufficient-content warning
+    words = " ".join(f"word{i:02d}xxxxxxxxxxxxxx" for i in range(12))
+    html = wrap(f"<article><p>{words}</p></article>")
+    r = extract(html, Options(min_output_size=10, min_extracted_len=100,
+                              use_fallback_extraction=False))
+    assert not any("Insufficient content" in w for w in r["warnings"])
 
 
 def test_include_links_toggle_in_html():

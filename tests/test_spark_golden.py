@@ -171,3 +171,32 @@ def test_kernel_error_degrades_to_row(spark, monkeypatch):
     monkeypatch.setattr(kx, "extract_bytes", real)
     assert result["stage"].iloc[0] == "error"
     assert "synthetic kernel failure" in result["warnings"].iloc[0][0]
+
+
+def test_checkpoint_refuses_n_chunks_mismatch(spark, tmp_path):
+    import pytest
+
+    from rs_trafilatura_spark.sources import run_extraction_checkpointed
+
+    out_dir = str(tmp_path / "out")
+    pages = generate_pages_df(spark, 20)
+    run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=2)
+    with pytest.raises(ValueError, match="n_chunks"):
+        run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=4)
+
+
+def test_checkpoint_fingerprint_verify_detects_changed_input(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rs_trafilatura_spark.sources import run_extraction_checkpointed
+
+    out_dir = str(tmp_path / "out")
+    pages = generate_pages_df(spark, 20)
+    run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=2)
+    changed = pages.withColumn("url", F.concat(F.col("url"), F.lit("-v2")))
+    with pytest.raises(ValueError, match="input changed"):
+        run_extraction_checkpointed(
+            spark, changed, out_dir, OPTS, n_chunks=2,
+            verify_input_fingerprint=True,
+        )

@@ -51,3 +51,46 @@ def test_host_dedup_stream(spark, tmp_path):
     # unique bodies are never dropped
     assert all(uniq[i] in res[f"https://a.example/p{i}"]["content_text"]
                for i in range(6))
+
+
+def test_host_dedup_stream_salted(spark, tmp_path):
+    """n_salts>1 shards a megasite: raw host still reported, dedup happens
+    within each salt bucket (a block repeated R times survives at most
+    3 * n_salts times)."""
+    from rs_trafilatura_spark.streaming.stateful import host_dedup_stream
+
+    boiler = ("Accept all cookies to continue enjoying this site with the "
+              "best personalized experience we can possibly offer you here.")
+    rows = [
+        (f"https://mega.example/p{i}", "mega.example",
+         f"Body {i} distinctive prose long enough to stand on its own "
+         f"without tripping any duplicate heuristics anywhere.\n\n{boiler}")
+        for i in range(16)
+    ]
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("hostname", T.StringType(), True),
+        T.StructField("content_text", T.StringType(), True),
+    ])
+    src = str(tmp_path / "in_salted")
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = host_dedup_stream(stream, n_salts=2)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("host_dedup_salted_t").trigger(once=True).start())
+    import time
+
+    for _ in range(120):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    assert not q.isActive
+    res = spark.sql("SELECT * FROM host_dedup_salted_t").collect()
+    assert len(res) == 16
+    # raw host reported, never the salted key
+    assert {r["host"] for r in res} == {"mega.example"}
+    n_with_boiler = sum(1 for r in res if boiler in r["content_text"])
+    # per bucket the first 3 survive; 2 buckets -> at most 6 total, and the
+    # block IS deduped (16 repeats can't all survive)
+    assert 3 <= n_with_boiler <= 6
