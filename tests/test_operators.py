@@ -99,3 +99,79 @@ def test_multimodal_plumbing(spark):
     assert out["byte_len"] == 11 and out["format_guess"] == "unknown"
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG....")
+
+
+def test_lsh_near_dup_pairs_exact_verify(docs):
+    """LSH candidates verified with EXACT shingle Jaccard: identical docs at
+    1000, the one-word-swap near dup high but < 1000, unrelated absent."""
+    from rs_trafilatura_spark.operators.dedup import lsh_near_dup_pairs
+
+    pairs = {(r["a_id"], r["b_id"]): r["jac_x1000"]
+             for r in lsh_near_dup_pairs(docs, threshold_x1000=500).collect()}
+    assert pairs[(0, 1)] == 1000
+    assert 500 <= pairs[(0, 2)] < 1000
+    assert (3, 4) not in pairs
+
+
+def test_shingle_expr_matches_python_shingles(spark):
+    from rs_trafilatura_spark.operators.dedup import shingle_set_expr
+
+    rows = [(0, "a bb ccc dd a bb ccc"), (1, "one two"), (2, "solo")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: sorted(r["sh"]) for r in
+           df.select("doc_id", shingle_set_expr(F.col("text")).alias("sh")).collect()}
+
+    def py_shingles(text, k=3):
+        w = text.split()
+        if len(w) < k:
+            return sorted({" ".join(w)})
+        return sorted({" ".join(w[i:i + k]) for i in range(len(w) - k + 1)})
+
+    for i, text in rows:
+        assert got[i] == py_shingles(text), (i, got[i])
+
+
+def test_simhash_multiband_recall_guarantee(spark):
+    """Pairs within the Hamming threshold are ALWAYS found (pigeonhole over
+    4 bands): exhaustively check the banded join against brute force."""
+    from rs_trafilatura_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_near_dups,
+    )
+
+    rows = [(i, f"shared boilerplate words everywhere number {i % 4} "
+                f"plus tail token{i}") for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fp = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(df).collect()}
+    brute = {
+        (a, b)
+        for a in fp for b in fp if a < b
+        and bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {(r["a_id"], r["b_id"])
+           for r in simhash_near_dups(df, hamming_threshold=3).collect()}
+    assert got == brute
+    with pytest.raises(ValueError):
+        simhash_near_dups(df, hamming_threshold=8, n_bands=4)
+
+
+def test_knn_lsh_twins_provable_recall(spark):
+    """Scale-twins (x*2) share the original's bucket exactly, so LSH 1-NN
+    must pair every vector with its twin at cos_x1000 ~ 1000."""
+    from rs_trafilatura_spark.operators.similarity import knn_join_lsh
+
+    embs = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+            .limit(100))
+    twins = embs.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: (x * F.lit(2.0)).cast("float")).alias("embedding"),
+    )
+    out = {r["a_id"]: (r["b_id"], r["cos_x1000"]) for r in
+           knn_join_lsh(embs.unionByName(twins), k=1, dim=64).collect()}
+    assert len(out) == 200
+    for a, (b, cos) in out.items():
+        partner = a + 10000 if a < 10000 else a - 10000
+        assert b == partner, (a, b)
+        assert cos >= 999
