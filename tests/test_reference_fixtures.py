@@ -1,0 +1,244 @@
+"""Differential anchoring against the reference's OWN integration suite.
+
+The strongest differential test would pipe these fixtures through the
+reference's `extract_stdin` binary (src/bin/extract_stdin.rs:29-124) and
+compare JSON outputs.  That is not possible in this sandbox: cargo 1.95 is
+installed but the container has no network route to a crates registry
+(`cargo build --release --bin extract_stdin` fails with "Could not resolve
+hostname" while fetching html-cleaning/dom_query/...), and no vendored
+sources or ~/.cargo/registry cache exist.  The attempt and failure mode are
+recorded here so the gap is explicit, not silent.
+
+Next-best anchor, implemented below: run THIS kernel over the reference's
+own integration fixtures (tests/integration/fixtures/*.html, read-only) and
+assert the exact expectations the reference asserts about ITSELF in
+tests/integration/{real_world_articles,edge_cases,feature_combinations}.rs.
+Every test cites the Rust test it mirrors.  These are reference-authored
+oracles on reference-authored inputs — independent of this repo's goldens.
+"""
+
+import os
+
+import pytest
+
+from rs_trafilatura_spark.kernel import extract
+from rs_trafilatura_spark.options import Options
+
+FIXDIR = "/root/reference/tests/integration/fixtures"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXDIR), reason="reference fixtures not available"
+)
+
+
+def fixture(name: str) -> str:
+    with open(os.path.join(FIXDIR, name), encoding="utf-8") as f:
+        return f.read()
+
+
+# --- real_world_articles.rs -------------------------------------------------------
+
+
+def test_extract_full_article_with_metadata():
+    """real_world_articles.rs:19-62 (test_extract_full_article_with_metadata)."""
+    r = extract(fixture("article_full.html"))
+    assert r["content_text"], "Content should not be empty"
+    assert len(r["content_text"]) > 500, "Content should be substantial"
+    assert "groundbreaking discovery" in r["content_text"]
+    assert "Dr. Maria Johnson" in r["content_text"]
+    assert r["title"] is not None
+    assert r["author"] is not None
+    assert r["date"] is not None
+    assert "Subscribe to our newsletter" not in r["content_text"]
+    assert "Popular Posts" not in r["content_text"]
+
+
+def test_extract_blog_with_comments_enabled():
+    """real_world_articles.rs:64-97 (test_extract_blog_with_comments_enabled)."""
+    r = extract(
+        fixture("blog_with_comments.html"),
+        Options(include_comments=True, min_output_comm_size=3),
+    )
+    assert r["content_text"]
+    assert "Rust" in r["content_text"]
+    assert r["title"] is not None
+    assert "Rust" in r["title"]
+
+
+def test_extract_blog_without_comments():
+    """real_world_articles.rs:99-131 (test_extract_blog_without_comments)."""
+    r = extract(fixture("blog_with_comments.html"), Options(include_comments=False))
+    assert r["content_text"]
+    assert r["comments_text"] is None
+    assert "RustFan42" not in r["content_text"]
+    assert "NewbieCoder" not in r["content_text"]
+
+
+def test_extract_docs_with_tables():
+    """real_world_articles.rs:133-163 (test_extract_docs_with_tables)."""
+    r = extract(fixture("docs_with_tables.html"), Options(include_tables=True))
+    assert "timeout" in r["content_text"]
+    assert "retries" in r["content_text"]
+    assert "Config" in r["content_text"]
+
+
+def test_extract_article_removes_boilerplate():
+    """real_world_articles.rs:165-196 (test_extract_article_removes_boilerplate)."""
+    r = extract(fixture("article_with_boilerplate.html"))
+    assert "actual main content" in r["content_text"]
+    assert "Home | About | Contact" not in r["content_text"]
+    assert "ADVERTISEMENT" not in r["content_text"]
+    assert "Trending Now" not in r["content_text"]
+    assert "Newsletter" not in r["content_text"]
+
+
+def test_article_metadata_completeness():
+    """real_world_articles.rs:198-231 (test_article_metadata_completeness)."""
+    r = extract(fixture("article_full.html"))
+    assert r["title"] is not None
+    assert r["author"] is not None
+    assert r["date"] is not None
+    assert r["description"] is not None
+    assert "Discovery" in r["title"] or "Science" in r["title"]
+    assert "Jane Smith" in r["author"]
+
+
+# --- feature_combinations.rs --------------------------------------------------------
+
+
+def test_precision_mode_with_metadata():
+    """feature_combinations.rs:19-45 (test_precision_mode_with_metadata)."""
+    r = extract(fixture("article_full.html"), Options(favor_precision=True))
+    assert r["content_text"]
+    assert r["title"] is not None
+    assert r["author"] is not None
+    assert "Advertisement" not in r["content_text"]
+
+
+def test_recall_mode_extracts_content():
+    """feature_combinations.rs:48-77 (test_recall_mode_extracts_more_content)."""
+    r = extract(fixture("article_full.html"), Options(favor_recall=True))
+    assert r["content_text"]
+    assert r["title"] is not None
+
+
+def test_author_blacklist_filtering():
+    """feature_combinations.rs:79-114 (test_author_blacklist_filtering)."""
+    base = extract(fixture("article_full.html"))
+    assert base["author"] is not None
+    r = extract(
+        fixture("article_full.html"), Options(author_blacklist=("Jane Smith",))
+    )
+    assert not (r["author"] and "Jane Smith" in r["author"])
+    assert r["content_text"]
+
+
+def test_deduplication_removes_repeated_text():
+    """feature_combinations.rs:116-150 (test_deduplication_removes_repeated_text)."""
+    r = extract(fixture("article_with_duplicates.html"), Options(deduplicate=True))
+    assert r["content_text"]
+    assert "unique content" in r["content_text"]
+
+
+def test_tables_and_precision_combined():
+    """feature_combinations.rs:152-179 (test_tables_and_precision_combined)."""
+    r = extract(
+        fixture("docs_with_tables.html"),
+        Options(include_tables=True, favor_precision=True),
+    )
+    assert "timeout" in r["content_text"] or "Option" in r["content_text"]
+    assert "Config" in r["content_text"]
+
+
+def test_content_length_limits():
+    """feature_combinations.rs:181-206 (test_content_length_limits)."""
+    r = extract(fixture("article_full.html"), Options(max_extracted_len=500))
+    assert len(r["content_text"]) <= 500
+    assert any("truncated" in w.lower() for w in r["warnings"])
+
+
+def test_min_output_size_validation():
+    """feature_combinations.rs:209-227 (test_min_output_size_validation)."""
+    r = extract(
+        "<html><body><article><p>Short.</p></article></body></html>",
+        Options(min_output_size=100),
+    )
+    assert any("Insufficient" in w for w in r["warnings"])
+
+
+def test_multiple_options_combined():
+    """feature_combinations.rs:230-253 (test_multiple_options_combined)."""
+    r = extract(
+        fixture("article_full.html"),
+        Options(include_tables=True, include_images=True, include_links=True,
+                favor_precision=True, deduplicate=True),
+    )
+    assert r["content_text"]
+    assert r["title"] is not None
+
+
+# --- edge_cases.rs ------------------------------------------------------------------
+
+
+def test_extract_non_english_content():
+    """edge_cases.rs:121-157 (test_extract_non_english_content)."""
+    html = (
+        '<!DOCTYPE html><html lang="ja"><head><meta charset="UTF-8">'
+        '<meta property="og:title" content="日本語の記事タイトル">'
+        "<title>日本語の記事タイトル</title></head><body><article>"
+        "<h1>日本語の見出し</h1>"
+        "<p>この記事では、さまざまなトピックについて詳しく説明しています。"
+        "日本語のコンテンツを正しく処理できることを確認するためのテストです。</p>"
+        "<p>Rustは安全性と速度を両立させた素晴らしいプログラミング言語です。"
+        "メモリ安全性を保証しながら、高いパフォーマンスを実現します。</p>"
+        "</article></body></html>"
+    )
+    r = extract(html)
+    assert r["content_text"]
+    assert "日本語" in r["content_text"] or "Rust" in r["content_text"]
+    assert r["language"] == "ja"
+
+
+def test_extract_script_and_style_removed():
+    """edge_cases.rs:202-243 (test_extract_script_and_style_removed)."""
+    html = (
+        "<!DOCTYPE html><html><head><style>body { color: red; }</style>"
+        "<script>alert('hello');</script></head><body><article>"
+        "<p>Main content here.</p><script>console.log('inline');</script>"
+        "<style>.inline { display: none; }</style></article></body></html>"
+    )
+    r = extract(html)
+    assert "alert" not in r["content_text"]
+    assert "console.log" not in r["content_text"]
+    assert "color: red" not in r["content_text"]
+    assert "Main content" in r["content_text"]
+
+
+def test_extract_preserves_text_structure():
+    """edge_cases.rs:245-271 (test_extract_preserves_text_structure)."""
+    html = (
+        "<!DOCTYPE html><html><body><article><h1>Title</h1>"
+        "<p>First paragraph.</p><p>Second paragraph.</p>"
+        "<ul><li>Item one</li><li>Item two</li></ul></article></body></html>"
+    )
+    r = extract(html)
+    assert "First paragraph" in r["content_text"]
+    assert "Second paragraph" in r["content_text"]
+    assert "Item one" in r["content_text"]
+
+
+def test_extract_handles_special_characters():
+    """edge_cases.rs:273-296 (test_extract_handles_special_characters)."""
+    html = (
+        "<!DOCTYPE html><html><body><article>"
+        "<p>Special chars: &amp; &lt; &gt; &quot; &apos;</p>"
+        "<p>More: &copy; &reg; &trade; &nbsp;</p></article></body></html>"
+    )
+    r = extract(html)
+    assert "&" in r["content_text"] or "Special" in r["content_text"]
+
+
+def test_extract_whitespace_only():
+    """edge_cases.rs:186-200 (test_extract_only_whitespace_content)."""
+    r = extract("<html><body><article>   \n\t\n   </article></body></html>")
+    assert not r["content_text"].strip() or r["warnings"]
