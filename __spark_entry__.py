@@ -76,19 +76,28 @@ def _synth_url():
                     F.col("doc_id").cast("string"))
 
 
+# roundtrip template parts — shared between the Spark page builder and the
+# oracle's span-offset arithmetic (the byte offset of <p> in the page is
+# len(_RT_P1) + len(lang) + len(_RT_P3) + len(str(doc_id)) + len(_RT_P5))
+_RT_P1 = '<!doctype html><html lang="'
+_RT_P3 = '"><head><title>Doc '
+_RT_P5 = (" - Docs Example</title></head><body>"
+          '<nav class="main-nav"><a href="/">Home</a> '
+          '<a href="/blog">Blog</a></nav>'
+          "<article>")
+_RT_P7 = ("</p></article>"
+          '<footer class="site-footer">© docs.example</footer>'
+          "</body></html>")
+
+
 def _wrap_roundtrip(documents: DataFrame) -> DataFrame:
     """Template A: article page around the document text (binary html)."""
     html = F.concat(
-        F.lit('<!doctype html><html lang="'), F.col("lang"),
-        F.lit('"><head><title>Doc '), F.col("doc_id").cast("string"),
-        F.lit(" - Docs Example</title></head><body>"
-              '<nav class="main-nav"><a href="/">Home</a> '
-              '<a href="/blog">Blog</a></nav>'
-              "<article><p>"),
+        F.lit(_RT_P1), F.col("lang"),
+        F.lit(_RT_P3), F.col("doc_id").cast("string"),
+        F.lit(_RT_P5 + "<p>"),
         F.col("text"),
-        F.lit("</p></article>"
-              '<footer class="site-footer">© docs.example</footer>'
-              "</body></html>"),
+        F.lit(_RT_P7),
     )
     return documents.select(
         _synth_url().alias("url"),
@@ -133,12 +142,21 @@ def _run_kernel(spark: SparkSession, pages: DataFrame) -> DataFrame:
 
 
 def q_extract_roundtrip(spark, sf_dir):
+    """Full-cascade roundtrip incl. span offsets: the one <p> of the
+    template must yield exactly one SOURCE span whose start is the byte
+    offset of <p> in the page and whose length is len(text)+3 (start tag ->
+    end tag) — both computable in SQL from the template constants."""
     out = _run_kernel(spark, _wrap_roundtrip(_docs(spark, sf_dir)))
+    first = F.element_at("spans", 1)
     return out.select(
         "url",
         F.col("content_text").alias("text"),
         F.col("language").alias("lang"),
         F.col("title").alias("title"),
+        F.size("spans").cast("long").alias("n_spans"),
+        first.getField("kind").alias("span_kind"),
+        first.getField("start").alias("span_start"),
+        (first.getField("end") - first.getField("start")).alias("span_len"),
     )
 
 
@@ -449,7 +467,11 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_roundtrip": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
-            "text, lang, 'Doc ' || doc_id AS title FROM documents"
+            "text, lang, 'Doc ' || doc_id AS title, "
+            "CAST(1 AS BIGINT) AS n_spans, 'p' AS span_kind, "
+            f"CAST({len(_RT_P1) + len(_RT_P3) + len(_RT_P5)} + length(lang) "
+            "+ length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS span_start, "
+            "CAST(length(text) + 3 AS BIGINT) AS span_len FROM documents"
         ),
         "extract_metadata": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "

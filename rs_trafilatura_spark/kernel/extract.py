@@ -350,6 +350,16 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         stage = "empty"
         warnings.append("Dropped: no metadata (only_with_metadata)")
 
+    # spans backfill (north rule: "extracted text + span offsets" on EVERY
+    # document). The DOM traversal emits SOURCE-html spans (start/end tag
+    # offsets, kind = tag). Stages that assemble text outside a single
+    # traversal (fallback, merge, repeated_items, split_body, jsonld_*,
+    # discourse) can't point into the source, so they emit OUTPUT spans:
+    # offsets of each paragraph block into content_text, kind =
+    # "out:<stage>".  Consumers dispatch on the kind prefix.
+    if not spans and text:
+        spans = _output_block_spans(text, stage)
+
     # 14. quality (extract.rs:401-406)
     quality = compute_extraction_quality(text, content_html, html_len, page_type)
 
@@ -393,6 +403,20 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         "spans": [(int(s), int(e), k) for s, e, k in spans],
         "stage": stage,
     }
+
+
+def _output_block_spans(text: str, stage: str) -> list[tuple[int, int, str]]:
+    """[(start, end, "out:<stage>")] offsets of each non-empty paragraph
+    block into the emitted text — the span representation for cascade
+    stages whose text is not a single DOM traversal."""
+    spans: list[tuple[int, int, str]] = []
+    pos = 0
+    kind = f"out:{stage}"
+    for block in text.split("\n\n"):
+        if block.strip():
+            spans.append((pos, pos + len(block), kind))
+        pos += len(block) + 2
+    return spans
 
 
 def extract_bytes(html: bytes, opts: Options = DEFAULT_OPTIONS) -> dict:

@@ -301,3 +301,41 @@ def test_byline_div_filtered():
     r = extract(html)
     assert "CONTENT" in r["content_text"]
     assert "By John Smith" not in r["content_text"]
+
+
+def test_spans_on_fallback_stages():
+    """North rule: every document with text carries spans.  Non-main stages
+    emit OUTPUT spans (offsets into content_text, kind 'out:<stage>')."""
+    import json
+
+    body = ("A perfectly reasonable article body with plenty of words in it "
+            "to satisfy all of the usability ratio checks downstream. " * 3)
+    # JSON-LD articleBody >= 500 chars forces the jsonld_body stage when the
+    # DOM result is tiny
+    jsonld = json.dumps({
+        "@context": "https://schema.org", "@type": "Article",
+        "articleBody": body * 3,
+    })
+    html = (f'<html><head><script type="application/ld+json">{jsonld}'
+            "</script></head><body><div>tiny</div></body></html>")
+    r = extract(html)
+    assert r["content_text"]
+    assert r["spans"], f"no spans at stage {r['stage']}"
+    for s, e, kind in r["spans"]:
+        if kind.startswith("out:"):
+            assert kind == f"out:{r['stage']}"
+            # offsets index into content_text
+            assert 0 <= s < e <= len(r["content_text"])
+            assert r["content_text"][s:e].strip()
+
+
+def test_output_block_spans_cover_blocks():
+    from rs_trafilatura_spark.kernel.extract import _output_block_spans
+
+    text = "first block\n\nsecond block here\n\n\n\nthird"
+    spans = _output_block_spans(text, "merge")
+    assert [(text[s:e], k) for s, e, k in spans] == [
+        ("first block", "out:merge"),
+        ("second block here", "out:merge"),
+        ("third", "out:merge"),
+    ]
