@@ -620,6 +620,85 @@ def materialize_corpus(spark, path: str, n_rows: int, seed: int = 42,
     ids.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(path)
 
 
+LARGE_GENERATOR_VERSION = 1
+
+
+def generate_large_row(i: int, seed: int = 42) -> dict:
+    """~300 KB CC-like article page (the reference's eval corpus averages
+    316 KB/page, README.md:258): a deep article wrapped in heavy chrome —
+    link-farm sidebar, comment section, inline script payload — so the
+    MB/s throughput bench pays the same parse/filter costs a crawl page
+    does, not just happy-path extraction."""
+    rnd = random.Random(f"large:{seed}:{i}")
+    host_rank = rnd.choices(range(_N_HOSTS), weights=_HOST_WEIGHTS, k=1)[0]
+    host = f"www.site{host_rank:03d}.example"
+    site = f"Site {host_rank:03d}"
+    title = _title(rnd)
+    slug = "-".join(rnd.choice(_WORDS) for _ in range(3))
+    paras = [_paragraph(rnd, sentences=6) for _ in range(690)]
+    sidebar = (
+        '<aside class="sidebar"><div class="widget widget-links">'
+        + " ".join(
+            f'<a href="/tag/{w}">{w.capitalize()} corner</a>'
+            for w in rnd.sample(_WORDS, 24)
+        )
+        + '</div><div class="widget promo">Subscribe to our newsletter '
+        "for weekly updates and exclusive offers.</div></aside>"
+    )
+    comments = (
+        '<div id="comments" class="comments-area">'
+        + "".join(
+            f'<div class="comment"><p>{_paragraph(rnd, 2)}</p></div>'
+            for _ in range(12)
+        )
+        + "</div>"
+    )
+    script = (
+        "<script>var dataLayer=["
+        + ",".join(f'{{"k{j}":"{rnd.choice(_WORDS)}"}}' for j in range(300))
+        + "];</script>"
+    )
+    body = (
+        _NAV + sidebar
+        + f"<article><h1>{title}</h1>{_ps(paras)}</article>"
+        + comments + script + _footer(site)
+    )
+    html = _page(title, site, body)
+    return {
+        "url": f"https://{host}/blog/{slug}-{i:06d}",
+        "warc_ts": _EPOCH + timedelta(seconds=37 * i),
+        "html": html.encode("utf-8"),
+        "text": "\n\n".join(paras),
+        "lang": "en",
+    }
+
+
+def materialize_large_corpus(spark, path: str, n_rows: int, seed: int = 42,
+                             partitions: int = 128) -> None:
+    """Parallel-generate the ~300 KB-page corpus (same mechanism as
+    materialize_corpus; generation is a pure function of (seed, id))."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+    ])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [generate_large_row(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {c: [r[c] for r in rows] for c in _INPUT_COLUMNS}
+            )
+
+    ids = spark.range(0, n_rows, 1, partitions)
+    ids.mapInPandas(gen, schema=schema).write.mode("overwrite").parquet(path)
+
+
 def write_parquet_corpus(path: str, n_rows: int, seed: int = 42,
                          batch: int = 2000) -> None:
     """Write the corpus to parquet without Spark (for bench caching)."""

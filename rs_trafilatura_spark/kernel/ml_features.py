@@ -73,7 +73,11 @@ def _shallow_containers(body: Element, max_depth: int = 3):
         level = next_level
 
 
-def extract_ml_features(doc: Document, url: str = "") -> list[float]:
+def _extract_ml_features_slow(doc: Document, url: str = "") -> list[float]:
+    """Readable selector-based reference implementation.  Semantics oracle
+    for the single-pass fast path below (tests/test_ml_features_parity.py
+    asserts equality); ~43 full-tree selector scans per page, so the live
+    kernel uses extract_ml_features instead."""
     f = [0.0] * N_FEATURES
     url_lower = (url or "").lower()
     try:
@@ -301,6 +305,360 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
         1 for c in cards
         if select(c, "[class*='price'], [class*='cost'], [class*='amount']")
     )
+    f[85] = float(cards_with_price)
+    f[86] = 1.0 if ("collectionpage" in body_lower
+                    or "productcollection" in body_lower) else 0.0
+    f[87] = float(len(cards))
+    f[88] = cards_with_price / len(cards) if cards else 0.0
+
+    return f
+
+
+# --- single-pass fast path ------------------------------------------------------------
+#
+# One document-order walk replaces the ~43 full-tree selector scans of the
+# reference implementation above (each select() re-matches every element;
+# measured ~33% of total kernel time).  Feature VALUES are identical —
+# tests/test_ml_features_parity.py asserts equality against
+# _extract_ml_features_slow on generated pages of every family.
+
+_GRID_CLS = ("grid", "col-", "column", "card")
+_PRODCARD_CLS = ("product-card", "product-tile", "product-item")
+_CARD_CLS = ("product-card", "product-tile", "product-item",
+             "product-grid-item", "grid-item", "collection-item")
+_PRICE_CLS = ("price", "cost", "amount")
+_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+def extract_ml_features(doc: Document, url: str = "") -> list[float]:
+    f = [0.0] * N_FEATURES
+    url_lower = (url or "").lower()
+    try:
+        parsed = urlparse(url_lower)
+        domain = parsed.hostname or ""
+        path = parsed.path or "/"
+    except ValueError:
+        domain, path = "", "/"
+
+    f[0] = 1.0 if any(h in domain for h in _FORUM_HOSTS) else 0.0
+    f[1] = 1.0 if any(p in path for p in _FORUM_PATHS) else 0.0
+    f[2] = 1.0 if any(p in url_lower for p in _FORUM_PATHS) else 0.0
+    f[3] = 1.0 if any(h in domain for h in _DOCS_HOSTS) else 0.0
+    f[4] = 1.0 if any(p in path for p in _DOCS_PATHS) else 0.0
+    f[5] = 1.0 if any(p in path for p in _PRODUCT_PATHS) else 0.0
+    f[6] = 1.0 if any(p in path for p in _CATEGORY_PATHS) else 0.0
+    f[7] = 1.0 if any(p in path for p in _SERVICE_PATHS) else 0.0
+    f[8] = 1.0 if any(s in url_lower for s in _SERVICE_SUFFIXES) else 0.0
+    f[9] = 1.0 if any(p in path for p in _ARTICLE_PATHS) else 0.0
+    f[10] = 1.0 if _BLOG_SLUG_RE.search(url_lower) else 0.0
+    path_trimmed = path.rstrip("/")
+    f[11] = 1.0 if any(
+        path_trimmed.endswith(p.rstrip("/")) and p.rstrip("/")
+        for p in _LISTING_PATHS
+    ) else 0.0
+    f[12] = 1.0 if any(p in path for p in _LISTING_PATHS) else 0.0
+    f[13] = 1.0 if ("shop." in domain or "store." in domain) else 0.0
+
+    body = doc.body
+    root = doc.root
+
+    # ---- the single walk: collect everything every feature needs ------------
+    ps: list = []
+    headings: list = []
+    links: list = []
+    buttons = 0
+    cta = 0
+    n_code_pre = n_form = n_img = n_list = n_table = n_nav = 0
+    n_section = n_input = n_svg = 0
+    n_comment_cls = n_post_cls = n_message_cls = n_grid_cls = 0
+    has_article = has_time = has_main = has_aside = False
+    has_author = has_prodgrid = has_cart = has_pagination = False
+    has_docsnav = has_hero = has_testimonial = has_pricing = False
+    has_feature = has_breadcrumb = has_noindex = has_filter = False
+    has_sort = has_prodgroup = False
+    n_prodcard = 0
+    og_type = ""
+    og_seen = False
+    sections: list = []
+    cards: list = []
+    card_set: set = set()
+    price_els: list = []
+
+    for el in root.iterdesc():
+        tag = el.tag
+        # raw, not lowercased: the selector engine's [class*=...] compares
+        # the raw attribute, and parity with the slow path must be exact
+        cls = el.attrib.get("class", "")
+
+        if tag == "p":
+            ps.append(el)
+        elif tag in _HEADING_TAGS:
+            headings.append(el)
+        elif tag == "a":
+            links.append(el)
+            t = el.text_content().lower()
+            if any(m in t for m in _CTA_MARKERS):
+                cta += 1
+        elif tag == "button":
+            buttons += 1
+            t = el.text_content().lower()
+            if any(m in t for m in _CTA_MARKERS):
+                cta += 1
+        elif tag in ("code", "pre"):
+            n_code_pre += 1
+        elif tag == "form":
+            n_form += 1
+        elif tag == "img":
+            n_img += 1
+        elif tag in ("ul", "ol"):
+            n_list += 1
+        elif tag == "table":
+            n_table += 1
+        elif tag == "nav":
+            n_nav += 1
+        elif tag == "section":
+            n_section += 1
+        elif tag == "input":
+            n_input += 1
+        elif tag == "svg":
+            n_svg += 1
+        elif tag == "article":
+            has_article = True
+        elif tag == "time":
+            has_time = True
+        elif tag == "main":
+            has_main = True
+        elif tag == "aside":
+            has_aside = True
+        elif tag == "script":
+            if el.attrib.get("type") == "application/ld+json":
+                t = el.text
+                if '"Article"' in t or '"NewsArticle"' in t or '"BlogPosting"' in t:
+                    f[23] = 1.0
+                if '"Product"' in t:
+                    f[24] = 1.0
+                if '"FAQPage"' in t:
+                    f[25] = 1.0
+                if '"CollectionPage"' in t or '"OfferCatalog"' in t:
+                    f[26] = 1.0
+                if '"ItemList"' in t:
+                    f[27] = 1.0
+                if '"LocalBusiness"' in t:
+                    f[28] = 1.0
+                if '"Service"' in t:
+                    f[29] = 1.0
+                if '"AggregateOffer"' in t:
+                    f[30] = 1.0
+        elif tag == "meta":
+            name = el.attrib.get("name", "")
+            prop = el.attrib.get("property", "")
+            if not og_seen and prop == "og:type":
+                og_type = (el.attrib.get("content") or "").lower()
+                og_seen = True
+            if name == "author" or prop == "article:author":
+                has_author = True
+            if (name == "robots"
+                    and "noindex" in el.attrib.get("content", "")):
+                has_noindex = True
+            if (prop == "og:type"
+                    and "product.group" in el.attrib.get("content", "")):
+                has_prodgroup = True
+        elif tag == "link":
+            if el.attrib.get("rel") == "next":
+                has_pagination = True
+
+        if tag in ("section", "article", "div"):
+            sections.append(el)
+
+        if cls:
+            if "author" in cls:
+                has_author = True
+            if ("product-grid" in cls or "product-list" in cls
+                    or "product-card" in cls):
+                has_prodgrid = True
+            if "add-to-cart" in cls or "addtocart" in cls or "buy-now" in cls:
+                has_cart = True
+            if any(k in cls for k in _PRODCARD_CLS):
+                n_prodcard += 1
+            if "pagination" in cls or "pager" in cls:
+                has_pagination = True
+            if ("docs-sidebar" in cls or "doc-sidebar" in cls
+                    or "docs-nav" in cls or "table-of-contents" in cls):
+                has_docsnav = True
+            if any(k in cls for k in _GRID_CLS):
+                n_grid_cls += 1
+            if "hero" in cls:
+                has_hero = True
+            if "testimonial" in cls:
+                has_testimonial = True
+            if "pricing" in cls:
+                has_pricing = True
+            if "feature" in cls:
+                has_feature = True
+            if "breadcrumb" in cls:
+                has_breadcrumb = True
+            if "comment" in cls:
+                n_comment_cls += 1
+            if "post" in cls:
+                n_post_cls += 1
+            if "message" in cls:
+                n_message_cls += 1
+            if ("filter-sidebar" in cls or "filter-panel" in cls
+                    or "filter-bar" in cls or "filter-menu" in cls):
+                has_filter = True
+            if ("sort-select" in cls or "sort-dropdown" in cls
+                    or "sort-control" in cls or "sort-option" in cls):
+                has_sort = True
+            if any(k in cls for k in _CARD_CLS):
+                cards.append(el)
+                card_set.add(id(el))
+            if any(k in cls for k in _PRICE_CLS):
+                price_els.append(el)
+
+    # ---- features from the collected pass ------------------------------------
+    p_lens = [len(p.text_content().strip()) for p in ps]
+    substantive = [n for n in p_lens if n > 20]
+    f[14] = float(len(substantive))
+    f[15] = sum(substantive) / len(substantive) if substantive else 0.0
+    f[16] = float(len(headings))
+    h2_count = sum(1 for h in headings if h.tag == "h2")
+    body_text = body.text_content()
+    body_len = len(body_text)
+    f[17] = body_len / h2_count if h2_count else 0.0
+    f[18] = 1.0 if has_article else 0.0
+    f[19] = 1.0 if has_time else 0.0
+    f[20] = 1.0 if has_main else 0.0
+    f[21] = 1.0 if has_aside else 0.0
+    f[22] = 1.0 if has_author else 0.0
+    f[31] = 1.0 if "product" in og_type else 0.0
+    f[32] = 1.0 if og_type == "article" else 0.0
+    f[33] = 1.0 if og_type == "website" else 0.0
+    f[34] = 1.0 if has_prodgrid else 0.0
+    f[35] = 1.0 if has_cart else 0.0
+    f[36] = float(n_prodcard)
+    f[37] = 1.0 if has_pagination else 0.0
+    f[38] = float(n_code_pre)
+    f[39] = 1.0 if has_docsnav else 0.0
+
+    p_words = sum(len(p.text_content().split()) for p in ps)
+    f[40] = len(links) / p_words if p_words else 0.0
+    f[41] = float(p_words)
+    f[42] = float(n_grid_cls)
+    f[43] = float(n_svg)
+    f[44] = float(cta)
+    f[45] = 1.0 if has_hero else 0.0
+    f[46] = 1.0 if has_testimonial else 0.0
+    f[47] = 1.0 if has_pricing else 0.0
+    f[48] = 1.0 if has_feature else 0.0
+    f[49] = 1.0 if has_breadcrumb else 0.0
+    f[50] = float(n_form)
+    f[51] = float(n_img)
+    f[52] = float(n_list)
+    f[53] = float(n_table)
+    f[54] = float(n_nav)
+    f[55] = float(n_section)
+    f[56] = float(buttons)
+    f[57] = float(n_input)
+    f[58] = float(body_len)
+    f[59] = float(len({a.get("href") for a in links if a.get("href")}))
+    f[60] = float(n_comment_cls)
+    f[61] = float(n_post_cls)
+    f[62] = float(n_message_cls)
+
+    if body_len > _MAX_ENHANCED_BYTES:
+        return f
+
+    max_repeated, parents_with_repeats = 0, 0
+    for el in _shallow_containers(body):
+        if len(el.children) < 3:
+            continue
+        counts = Counter(c.get("class") for c in el.children if c.get("class"))
+        if counts:
+            top = max(counts.values())
+            if top >= 3:
+                parents_with_repeats += 1
+                max_repeated = max(max_repeated, top)
+    f[63] = float(max_repeated)
+    f[64] = float(parents_with_repeats)
+
+    f[65] = float(body_text.count("$") + body_text.count("€") + body_text.count("£"))
+    f[66] = f[51] / (body_len / 1000.0) if body_len else 0.0
+
+    level_counts = Counter(h.tag for h in headings)
+    if level_counts:
+        f[67] = max(level_counts.values()) / len(level_counts)
+    body_lower = body_text.lower()
+    f[68] = 1.0 if "breadcrumblist" in body_lower else 0.0
+
+    link_text_counts = Counter(
+        a.text_content().strip().lower() for a in links
+        if len(a.text_content().strip()) > 3
+    )
+    f[69] = float(sum(1 for c in link_text_counts.values() if c >= 3))
+
+    # per-section descendant-<a> counts via one ancestor walk per link
+    # (equivalent to len(select(el, "a")) per section, without re-scanning)
+    a_counts: dict[int, int] = {}
+    for a in links:
+        anc = a.parent
+        while anc is not None:
+            if anc.tag in ("section", "article", "div"):
+                a_counts[id(anc)] = a_counts.get(id(anc), 0) + 1
+            anc = anc.parent
+    ratios = []
+    for el in sections:
+        text_len = len(el.text_content().strip())
+        if text_len > 50:
+            ratios.append(a_counts.get(id(el), 0) / text_len * 1000.0)
+    if len(ratios) >= 3:
+        mean = sum(ratios) / len(ratios)
+        f[70] = sum((r - mean) ** 2 for r in ratios) / len(ratios)
+
+    f[71] = 1.0 if has_noindex else 0.0
+    f[72] = float(len([s for s in path.strip("/").split("/") if s]))
+
+    sig_max, sig_parents = 0, 0
+    for el in _shallow_containers(body):
+        if len(el.children) < 3:
+            continue
+        sigs = Counter()
+        for c in el.children:
+            cls = c.get("class").lower()
+            kw = next((k for k in _SIG_KEYWORDS if k in cls), "")
+            sigs[f"{c.tag}|{kw}" if kw else c.tag] += 1
+        if sigs:
+            top = max(sigs.values())
+            if top >= 3:
+                sig_parents += 1
+                sig_max = max(sig_max, top)
+    f[73] = float(sig_max)
+    f[74] = float(sig_parents)
+
+    words = body_lower.split()
+    total_words = len(words)
+    if total_words:
+        wc = Counter(words)
+        f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
+        f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
+        f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
+        f[78] = sum(wc.get(w, 0) for w in _FORUM_W) / total_words
+
+    f[79] = float(max(link_text_counts.values(), default=0))
+    f[80] = f[69]
+
+    f[81] = 1.0 if has_prodgroup else 0.0
+    f[82] = 1.0 if has_filter else 0.0
+    f[83] = 1.0 if has_sort else 0.0
+    f[84] = 1.0 if _PRODUCT_COUNT_RE.search(body_lower) else 0.0
+    # card has a price descendant: one ancestor walk per price element
+    cards_priced: set = set()
+    for pe in price_els:
+        anc = pe.parent
+        while anc is not None:
+            if id(anc) in card_set:
+                cards_priced.add(id(anc))
+            anc = anc.parent
+    cards_with_price = sum(1 for c in cards if id(c) in cards_priced)
     f[85] = float(cards_with_price)
     f[86] = 1.0 if ("collectionpage" in body_lower
                     or "productcollection" in body_lower) else 0.0

@@ -155,9 +155,33 @@ def refine_with_html_signals(doc: Document, url_type: Optional[str]) -> tuple[st
     return ARTICLE, 0.5
 
 
+def classify_ml(features: list[float]) -> tuple[str, float]:
+    """Stage 3: bagged-tree ensemble over the 89-feature vector — the
+    public-data stand-in for the reference's external XGBoost crate
+    (page_type/ml.rs:29-44; weights not public).  Model data ships in
+    page_type_model.py (see scripts/train_page_type_model.py)."""
+    from .ml_trees import ensemble_predict_one
+    from .page_type_model import MODEL
+
+    cls, conf = ensemble_predict_one(MODEL, features)
+    return MODEL["classes"][cls], float(conf)
+
+
 def classify_page(doc: Document, url: Optional[str]) -> tuple[str, float]:
+    """3-stage classification + agreement confidence (extract.rs:55-92):
+    URL heuristics agree with ML -> 1.0; HTML-signal refinement agrees with
+    ML -> 0.95; otherwise the ML (which sees URL and HTML features too) is
+    the final authority at its own confidence."""
+    from .ml_features import extract_ml_features
+
     url_type = classify_url(url) if url else None
-    return refine_with_html_signals(doc, url_type)
+    refined, _heur_conf = refine_with_html_signals(doc, url_type)
+    ml_type, ml_conf = classify_ml(extract_ml_features(doc, url or ""))
+    if url_type is not None and url_type != ARTICLE and ml_type == url_type:
+        return url_type, 1.0
+    if refined != ARTICLE and ml_type == refined:
+        return refined, 0.95
+    return ml_type, ml_conf
 
 
 # --- extraction profiles (page_type/mod.rs:99-344) ------------------------------------

@@ -61,6 +61,11 @@ def make_extract_batches(opts: Options):
             # degrade to an empty row carrying the error as lineage
             try:
                 return extract_bytes(bytes(html), replace(opts, url=url))
+            except ImportError:
+                # missing shipped module = broken deployment, not a bad
+                # page: degrading 10^12 rows to 'error' would be far worse
+                # than failing the task
+                raise
             except Exception as exc:  # noqa: BLE001 - deliberate broad guard
                 res = _empty_result(
                     [f"kernel error: {type(exc).__name__}: {exc}"[:500]]

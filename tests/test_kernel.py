@@ -257,13 +257,19 @@ def test_title_site_suffix_stripped():
 
 
 def test_page_type_url_heuristics():
+    """Stage-1 URL tables (page_type/mod.rs:600-655).  End-to-end page_type
+    can differ when the ML overrules a URL/content mismatch (extract.rs:
+    85-90 'stages disagree — trust the ML'); the 3-stage pipeline is
+    covered in test_page_type_ml.py."""
+    from rs_trafilatura_spark.kernel.page_type import classify_url
+
+    assert classify_url("https://example.com/products/widget-1") == "product"
+    assert classify_url("https://example.com/docs/intro") == "documentation"
+    assert classify_url("https://community.example.com/t/topic/5") == "forum"
+    assert classify_url("https://example.com/blog/my-post") == "article"
+
+    # content + URL consistent -> end-to-end page_type stays the heuristic
     html = wrap(f"<article><p>B {PADDING}</p></article>")
-    r = extract(html, Options(url="https://example.com/products/widget-1"))
-    assert r["page_type"] == "product"
-    r = extract(html, Options(url="https://example.com/docs/intro"))
-    assert r["page_type"] == "documentation"
-    r = extract(html, Options(url="https://community.example.com/t/topic/5"))
-    assert r["page_type"] == "forum"
     r = extract(html, Options(url="https://example.com/blog/my-post"))
     assert r["page_type"] == "article"
 
@@ -339,3 +345,16 @@ def test_output_block_spans_cover_blocks():
         ("second block here", "out:merge"),
         ("third", "out:merge"),
     ]
+
+
+def test_large_cc_page_roundtrip():
+    """The ~300 KB bench family must extract byte-identically too (chrome
+    filtered, 690-paragraph article kept)."""
+    from rs_trafilatura_spark.datagen.corpus import generate_large_row
+    from rs_trafilatura_spark.kernel import extract_bytes
+
+    row = generate_large_row(3)
+    assert 250_000 < len(row["html"]) < 360_000
+    r = extract_bytes(row["html"])
+    assert r["stage"] == "main"
+    assert r["content_text"] == row["text"]
