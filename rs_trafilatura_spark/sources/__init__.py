@@ -6,4 +6,14 @@ from .checkpoint import (
     run_extraction_checkpointed,
 )
 
-__all__ = ["completed_chunks", "read_output", "run_extraction_checkpointed"]
+from .tables import (
+    detect_format,
+    iceberg_available,
+    read_pages,
+    write_output,
+)
+
+__all__ = [
+    "completed_chunks", "read_output", "run_extraction_checkpointed",
+    "detect_format", "iceberg_available", "read_pages", "write_output",
+]

@@ -11,10 +11,10 @@ Reads the pages table (url, warc_ts, html, lang [, text]), runs the
 extraction cascade checkpointed chunk-by-chunk (resume-safe: re-running
 skips completed chunks via the manifest), prints per-stage metrics.
 
-Iceberg note: with the Iceberg runtime jar on the classpath, swap the two
-marked lines for spark.read.format("iceberg") / write.format("iceberg");
-the engine code is storage-agnostic (this container has no Iceberg jar,
-so parquet is wired as the default).
+Iceberg note: pass --format iceberg (or a catalog identifier like
+prod.web.pages, which auto-detects) with the Iceberg runtime jar on the
+classpath; this container has no jar, so parquet paths are the tested
+default.  Both branches build the same plan (sources/tables.py).
 """
 
 from __future__ import annotations
@@ -42,12 +42,16 @@ def main() -> None:
     ap.add_argument("--precision", action="store_true")
     ap.add_argument("--recall", action="store_true")
     ap.add_argument("--target-lang", default=None)
+    ap.add_argument("--format", default=None, choices=("iceberg", "parquet"),
+                    help="input table format (default: auto — catalog "
+                         "identifiers read as iceberg, paths as parquet)")
     args = ap.parse_args()
 
     from rs_trafilatura_spark.options import Options
     from rs_trafilatura_spark.session import get_spark
     from rs_trafilatura_spark.sources import (
         read_output,
+        read_pages,
         run_extraction_checkpointed,
     )
     from rs_trafilatura_spark.plans import stage_metrics
@@ -62,7 +66,7 @@ def main() -> None:
         favor_recall=args.recall,
         target_language=args.target_lang,
     )
-    pages = spark.read.parquet(args.input)  # iceberg: .format("iceberg").load(...)
+    pages = read_pages(spark, args.input, fmt=args.format)
 
     summary = run_extraction_checkpointed(
         spark, pages, args.output, opts, n_chunks=args.chunks,
