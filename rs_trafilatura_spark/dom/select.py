@@ -75,7 +75,10 @@ class _Compound:
     def matches(self, el: Element) -> bool:
         if self.tag is not None and el.tag != self.tag:
             return False
-        return all(p(el) for p in self.preds)
+        for p in self.preds:  # plain loop: all(genexpr) costs a frame/elem
+            if not p(el):
+                return False
+        return True
 
 
 class _Chain:
@@ -152,6 +155,26 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
                 yield el
         return
     chains = _compile(selector)
+    # single simple compound (the dominant shape in the cascade's rule
+    # tables): inline the tag/pred checks — the generic path's two method
+    # hops + all(generator) per element are ~40% of kernel select time
+    if len(chains) == 1 and len(chains[0].steps) == 1:
+        comp = chains[0].steps[0][1]
+        tag, preds = comp.tag, comp.preds
+        if len(preds) == 1:
+            pred = preds[0]
+            for el in root.iterdesc():
+                if (tag is None or el.tag == tag) and pred(el):
+                    yield el
+            return
+        for el in root.iterdesc():
+            if tag is None or el.tag == tag:
+                for p in preds:
+                    if not p(el):
+                        break
+                else:
+                    yield el
+        return
     for el in root.iterdesc():
         for ch in chains:
             if ch.matches(el):
