@@ -99,17 +99,22 @@ def main() -> None:
     large_corpus = (
         f"/tmp/rs_traf_bench_large_v{LARGE_GENERATOR_VERSION}_{n_large}_{SEED}"
     )
-    spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
-    spark.conf.unset("spark.sql.files.openCostInBytes")
     if not os.path.exists(os.path.join(large_corpus, "_SUCCESS")):
         materialize_large_corpus(spark, large_corpus, n_large, SEED)
+    # one ~4.7 MB file per task (a file is one row group = the real split
+    # unit): the default 32 MB bins pack files into too few splits, which
+    # trips run_extraction's too-few-partitions rebalance — a full shuffle
+    # of the 600 MB corpus
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
     large = spark.read.parquet(large_corpus)
     large_bytes = large.select(F.sum(F.length("html"))).collect()[0][0]
     t0 = time.time()
-    run_extraction(spark, large, opts,
-                   target_partitions=CPUS * 3).groupBy("stage").count().collect()
+    run_extraction(spark, large, opts).groupBy("stage").count().collect()
     t_large = time.time() - t0
     timings["extract_large_pages"] = round(t_large, 3)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
+    spark.conf.unset("spark.sql.files.openCostInBytes")
 
     # operator benches at the sf dir, with the normal session split config
     q = entry_mod.queries()
