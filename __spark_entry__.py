@@ -307,6 +307,27 @@ def q_knn_join_lsh(spark, sf_dir):
     return knn_join_lsh(corpus, k=1, dim=64)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the corpus + one scale-twin per
+    vector: every (v, 2v) pair sits at cosine ~1.0 and provably shares v's
+    LSH bucket, while the natural pair maximum (~0.37) is far below the 0.9
+    threshold — so the exact all-pairs oracle must return exactly the twin
+    pairs, and LSH recall is 1.0 by construction."""
+    from rs_trafilatura_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    embs = (_embs(spark, sf_dir)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "embedding"))
+    twins = embs.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        _twin(F.col("embedding"), 1).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(embs.unionByName(twins),
+                                    cos_threshold_x1000=900, dim=64)
+
+
 def q_multimodal_image_meta(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.multimodal import (
@@ -376,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
         "multimodal_image_meta": q_multimodal_image_meta,
         "page_type_features": q_page_type_features,
         "topk_per_source": q_topk_per_source,
@@ -596,6 +618,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM sessions GROUP BY user_id, session_seq"
         ),
         "knn_join": knn_sql,
+        "embedding_near_dups": (
+            # exact all-pairs cosine over the corpus + one scale-twin per
+            # vector; only the twin pairs clear 0.9
+            "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], "
+            "x -> x * 2) FROM embeddings) "
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000 "
+            "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
+            "AND CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= 900"
+        ),
         "knn_join_lsh": (
             # exact 1-NN over the corpus + one scale-twin per vector
             "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "

@@ -142,6 +142,44 @@ def knn_join_lsh(embeddings: DataFrame, k: int = 3,
     )
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             cos_threshold_x1000: int = 900,
+                             n_planes: int = 6, probe_bits: int = 2,
+                             dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
+    (multiprobe equi-join, same machinery as knn_join_lsh) verified with
+    exact cosine — the embedding flavor of the dedup family.  Returns
+    (a_id, b_id, cos_x1000) with a_id < b_id.  Near-identical vectors
+    (cos -> 1) agree on every hyperplane sign, so true duplicates are
+    always candidates; recall for borderline pairs follows the
+    (n_planes, probe_bits) tradeoff documented on knn_join_lsh."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    if dim is None:
+        dim = len(embeddings.select("embedding").first()["embedding"])
+    sig = lsh_bucket_expr(dim, n_planes)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    tagged = embeddings.select("vec_id", emb.alias("vec"), sig.alias("_sig"))
+    probes = F.explode(F.array(*[
+        F.col("_sig").bitwiseXOR(F.lit(m))
+        for m in _probe_masks(n_planes, probe_bits)
+    ]))
+    a = tagged.select(F.col("vec_id").alias("a_id"),
+                      F.col("vec").alias("a_vec"), probes.alias("_sig"))
+    b = tagged.select(F.col("vec_id").alias("b_id"),
+                      F.col("vec").alias("b_vec"), "_sig")
+    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
+        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
+    )
+    return (
+        a.join(b, "_sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id",
+                F.floor(cos * 1000).cast("long").alias("cos_x1000"))
+        .filter(F.col("cos_x1000") >= cos_threshold_x1000)
+    )
+
+
 # --- LSH ANN ------------------------------------------------------------------------
 
 # Default plane count targets bucket occupancy ~ n/2^planes; callers should

@@ -76,15 +76,17 @@ def mark_near_duplicates(curated: DataFrame,
                          jaccard_threshold_x1000: int = 800) -> DataFrame:
     """LSH near-dup pass over the KEPT rows: lower url in each detected
     pair survives; others get drop_reason=near_duplicate.  Candidates come
-    from the band-bucket equi-join (operators/dedup.py), so cost scales
-    with bucket collisions, not corpus^2."""
-    from ..operators.dedup import lsh_candidate_pairs
+    from the band-bucket equi-join and are verified with EXACT shingle
+    Jaccard (operators/dedup.py::lsh_near_dup_pairs), so cost scales with
+    bucket collisions, not corpus^2, and the threshold is a real Jaccard
+    bound, not a signature estimate."""
+    from ..operators.dedup import lsh_near_dup_pairs
 
     kept = curated.filter(F.col("drop_reason").isNull())
     docs = kept.select(
         F.xxhash64("url").alias("doc_id"), F.col("content_text").alias("text")
     )
-    pairs = lsh_candidate_pairs(docs, jaccard_threshold_x1000)
+    pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
     losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
     return curated.join(
         losers,

@@ -66,3 +66,31 @@ def run_stream_to_memory(spark: SparkSession, input_path: str,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def windowed_stage_metrics_stream(
+    extracted_stream: DataFrame,
+    window_len: str = "10 minutes",
+    watermark: str = "10 minutes",
+    set_watermark: bool = True,
+) -> DataFrame:
+    """Watermarked tumbling-window stage metrics over the extraction
+    stream: the streaming form of plans.stage_metrics.  Late crawl records
+    beyond the watermark are dropped; in append mode a window emits once,
+    when the watermark passes its end — the standard late-data windowed
+    aggregation shape (SURVEY.md §2.10).  Pass ``set_watermark=False`` when
+    the upstream already watermarked warc_ts (e.g. ``extraction_stream``):
+    Spark disallows redefining a watermark."""
+    df = extracted_stream
+    if set_watermark:
+        df = df.withWatermark("warc_ts", watermark)
+    return (
+        df
+        .groupBy(F.window("warc_ts", window_len), F.col("stage"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "stage", "n_pages",
+        )
+    )

@@ -64,3 +64,44 @@ def test_language_filter_kernel():
     assert r["language"] == "de"
     # graceful pass-through: content still extracted
     assert "GERMAN_BODY" in r["content_text"]
+
+
+def test_windowed_stage_metrics_stream(spark, tmp_path):
+    """Watermarked tumbling-window agg over the extraction stream."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.streaming.pipeline import (
+        PAGES_SCHEMA,
+        extraction_stream,
+        read_pages_stream,
+        windowed_stage_metrics_stream,
+    )
+
+    src = str(tmp_path / "pages_in")
+    # spread warc_ts across 3 distinct 10-minute windows
+    pages = generate_pages_df(spark, 30).withColumn(
+        "warc_ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")) +
+        (F.monotonically_increasing_id() % 3).cast("int")
+        * F.expr("INTERVAL 10 MINUTES"),
+    )
+    pages.write.mode("overwrite").parquet(src)
+
+    # extraction_stream already watermarks warc_ts -> set_watermark=False
+    extracted = extraction_stream(read_pages_stream(spark, src))
+    metrics = windowed_stage_metrics_stream(extracted, set_watermark=False)
+    q = (metrics.writeStream.outputMode("complete")
+         .format("memory").queryName("win_metrics")
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM win_metrics").collect()
+    assert sum(r["n_pages"] for r in rows) == 30
+    windows = {(r["window_start"], r["window_end"]) for r in rows}
+    assert len(windows) == 3
+    for start, end in windows:
+        assert (end - start) == dt.timedelta(minutes=10)
+    assert any(r["stage"] == "main" for r in rows)
