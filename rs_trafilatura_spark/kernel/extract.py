@@ -323,17 +323,20 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
             content_node, include_links=opts.include_links
         ) or None
 
-    # 13. final validations (extract.rs:1081-1136)
-    if len(text) > opts.max_extracted_len:
-        text = text[: opts.max_extracted_len]
-        warnings.append("Content truncated at max_extracted_len")
+    # 13. final validations (extract.rs:1081-1136).  Order matters: the
+    # reference evaluates the insufficiency thresholds on the
+    # PRE-truncation text (extract.rs:1095-1099) and truncates after
+    # (extract.rs:1113-1120)
     # min_output_size is a WORD-count threshold, min_extracted_len the char
-    # threshold (extract.rs:1095-1099)
+    # threshold
     if text and (
         _count_words(text, opts.min_word_length) < opts.min_output_size
         or len(text) < opts.min_extracted_len
     ):
         warnings.append("Insufficient content after extraction")
+    if len(text) > opts.max_extracted_len:
+        text = text[: opts.max_extracted_len]
+        warnings.append("Content truncated at max_extracted_len")
     if not text:
         stage = "empty"
         warnings.append("No content extracted")

@@ -91,27 +91,16 @@ def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     return masks
 
 
-def knn_join_lsh(embeddings: DataFrame, k: int = 3,
-                 n_planes: int = 6, probe_bits: int = 2,
-                 dim: int | None = None) -> DataFrame:
-    """Approximate KNN join: candidates restricted to LSH buckets within
-    ``probe_bits`` Hamming distance of each vector's own bucket (multiprobe:
-    the query side explodes its probe signatures; the equi-join stays an
-    equi-join), then exact cosine + per-key top-k.  The cross product never
-    materializes; cost tracks bucket collisions x probe count.  Each (a,b)
-    pair matches via exactly one probe (the one equal to b's signature), so
-    no pair-dedup shuffle is needed.  Pass ``dim`` at scale (schema-known)
-    to avoid the O(1) driver probe.
-
-    Recall characteristics (random-hyperplane LSH): a neighbor at cosine c
-    shares each plane's sign with probability 1 - arccos(c)/pi, so recall is
-    high for genuinely close vectors (c -> 1 lands in the same bucket) and
-    poor for near-orthogonal ones — on uniform random 64-d data (max cosine
-    ~0.37) this finds ~36% of exact top-3 rows at (6 planes, 2 probe bits).
-    Scaled copies (x * 2^t) provably preserve every plane sign and therefore
-    the bucket, which the oracle fixture exploits to pin recall at 1.0."""
-    from pyspark.sql import Window
-
+def _multiprobe_scored_pairs(embeddings: DataFrame, n_planes: int,
+                             probe_bits: int,
+                             dim: int | None) -> DataFrame:
+    """(a_id, b_id, cos_x1000) candidate pairs from the multiprobe LSH
+    equi-join: the query side explodes its probe signatures (own bucket +
+    buckets within ``probe_bits`` Hamming), the join stays an equi-join,
+    and each (a, b) pair matches via exactly one probe (the one equal to
+    b's signature) — no pair-dedup shuffle.  Shared candidate machinery of
+    knn_join_lsh / embedding_near_dup_pairs.  Pass ``dim`` at scale
+    (schema-known) to avoid the O(1) driver probe."""
     if dim is None:
         dim = len(embeddings.select("embedding").first()["embedding"])
     sig = lsh_bucket_expr(dim, n_planes)
@@ -131,9 +120,28 @@ def knn_join_lsh(embeddings: DataFrame, k: int = 3,
     cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
         _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
     )
-    scored = pairs.select(
+    return pairs.select(
         "a_id", "b_id", F.floor(cos * 1000).cast("long").alias("cos_x1000")
     )
+
+
+def knn_join_lsh(embeddings: DataFrame, k: int = 3,
+                 n_planes: int = 6, probe_bits: int = 2,
+                 dim: int | None = None) -> DataFrame:
+    """Approximate KNN join: multiprobe LSH candidates
+    (_multiprobe_scored_pairs) + per-key top-k.  The cross product never
+    materializes; cost tracks bucket collisions x probe count.
+
+    Recall characteristics (random-hyperplane LSH): a neighbor at cosine c
+    shares each plane's sign with probability 1 - arccos(c)/pi, so recall is
+    high for genuinely close vectors (c -> 1 lands in the same bucket) and
+    poor for near-orthogonal ones — on uniform random 64-d data (max cosine
+    ~0.37) this finds ~36% of exact top-3 rows at (6 planes, 2 probe bits).
+    Scaled copies (x * 2^t) provably preserve every plane sign and therefore
+    the bucket, which the oracle fixture exploits to pin recall at 1.0."""
+    from pyspark.sql import Window
+
+    scored = _multiprobe_scored_pairs(embeddings, n_planes, probe_bits, dim)
     w = Window.partitionBy("a_id").orderBy(F.desc("cos_x1000"), F.asc("b_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -146,36 +154,17 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
                              cos_threshold_x1000: int = 900,
                              n_planes: int = 6, probe_bits: int = 2,
                              dim: int | None = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket candidates
-    (multiprobe equi-join, same machinery as knn_join_lsh) verified with
+    """Embedding-cosine near-duplicate pairs: multiprobe LSH candidates
+    (_multiprobe_scored_pairs, shared with knn_join_lsh) verified with
     exact cosine — the embedding flavor of the dedup family.  Returns
-    (a_id, b_id, cos_x1000) with a_id < b_id.  Near-identical vectors
-    (cos -> 1) agree on every hyperplane sign, so true duplicates are
-    always candidates; recall for borderline pairs follows the
+    (a_id, b_id, cos_x1000) with a_id < b_id (each unordered candidate pair
+    appears once in each direction; the filter keeps one).  Near-identical
+    vectors (cos -> 1) agree on every hyperplane sign, so true duplicates
+    are always candidates; recall for borderline pairs follows the
     (n_planes, probe_bits) tradeoff documented on knn_join_lsh."""
-    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
-
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()["embedding"])
-    sig = lsh_bucket_expr(dim, n_planes)
-    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    tagged = embeddings.select("vec_id", emb.alias("vec"), sig.alias("_sig"))
-    probes = F.explode(F.array(*[
-        F.col("_sig").bitwiseXOR(F.lit(m))
-        for m in _probe_masks(n_planes, probe_bits)
-    ]))
-    a = tagged.select(F.col("vec_id").alias("a_id"),
-                      F.col("vec").alias("a_vec"), probes.alias("_sig"))
-    b = tagged.select(F.col("vec_id").alias("b_id"),
-                      F.col("vec").alias("b_vec"), "_sig")
-    cos = _dot(F.col("a_vec"), F.col("b_vec")) / (
-        _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
-    )
+    scored = _multiprobe_scored_pairs(embeddings, n_planes, probe_bits, dim)
     return (
-        a.join(b, "_sig")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id",
-                F.floor(cos * 1000).cast("long").alias("cos_x1000"))
+        scored.filter(F.col("a_id") < F.col("b_id"))
         .filter(F.col("cos_x1000") >= cos_threshold_x1000)
     )
 

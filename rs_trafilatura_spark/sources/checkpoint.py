@@ -94,16 +94,23 @@ def run_extraction_checkpointed(
     for k in range(n_chunks):
         if k in done:
             if verify_input_fingerprint and "input_fingerprint" in done[k]:
-                actual = (
+                # xor-of-hashes alone is blind to even-multiplicity changes
+                # (url added twice xors to zero), so cross-check the row
+                # count too — the kernel emits exactly one row per page, so
+                # manifest rows == input rows
+                row = (
                     chunked.filter(F.col("_chunk") == k)
                     .select(F.xxhash64(F.col("url")).alias("h"))
-                    .agg(F.expr("bit_xor(h)").alias("f")).collect()[0]["f"]
+                    .agg(F.expr("bit_xor(h)").alias("f"),
+                         F.count("*").alias("n")).collect()[0]
                 )
-                if str(actual) != done[k]["input_fingerprint"]:
+                if (str(row["f"]) != done[k]["input_fingerprint"]
+                        or ("rows" in done[k] and row["n"] != done[k]["rows"])):
                     raise ValueError(
                         f"chunk {k} input changed since the manifest was "
-                        f"written (fingerprint {actual} != "
-                        f"{done[k]['input_fingerprint']}); refusing to skip"
+                        f"written (fingerprint {row['f']}/rows {row['n']} vs "
+                        f"{done[k]['input_fingerprint']}/"
+                        f"{done[k].get('rows')}); refusing to skip"
                     )
             continue
         t0 = time.time()

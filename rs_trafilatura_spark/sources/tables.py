@@ -17,9 +17,17 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 _TABLE_IDENT_RE = re.compile(r"^[A-Za-z_][\w]*(\.[A-Za-z_][\w]*){1,2}$")
+_DATA_FILE_EXT = (".parquet", ".orc", ".json", ".csv", ".avro")
 
 
 def detect_format(path: str) -> str:
+    """Catalog identifiers (cat.db.table) mean Iceberg; anything that looks
+    like a filesystem location — a separator, a data-file extension, or an
+    existing local path like 'pages.parquet' in cwd — means parquet."""
+    if ("/" in path or "\\" in path
+            or path.lower().endswith(_DATA_FILE_EXT)
+            or os.path.exists(path)):
+        return "parquet"
     return "iceberg" if _TABLE_IDENT_RE.match(path) else "parquet"
 
 

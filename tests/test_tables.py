@@ -19,6 +19,10 @@ def test_detect_format():
     assert detect_format("s3://bucket/pages") == "parquet"
     assert detect_format("prod.web.pages") == "iceberg"
     assert detect_format("web.pages") == "iceberg"
+    # dotted relative FILENAMES are paths, not catalog identifiers
+    assert detect_format("pages.parquet") == "parquet"
+    assert detect_format("out.ORC") == "parquet"
+    assert detect_format("data.csv") == "parquet"
 
 
 def test_parquet_roundtrip_partitioned(spark, tmp_path):
