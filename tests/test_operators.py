@@ -175,3 +175,18 @@ def test_knn_lsh_twins_provable_recall(spark):
         partner = a + 10000 if a < 10000 else a - 10000
         assert b == partner, (a, b)
         assert cos >= 999
+
+
+def test_jaccard_on_pairs_contract(docs):
+    """Pair-list contract: exact word-set Jaccard for explicit candidates,
+    independent of any group key."""
+    from rs_trafilatura_spark.operators.dedup import jaccard_on_pairs
+
+    pairs = docs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (3, 4)], ["a_id", "b_id"]
+    )
+    got = {(r["a_id"], r["b_id"]): r["jac_x1000"]
+           for r in jaccard_on_pairs(docs, pairs).collect()}
+    assert got[(0, 1)] == 1000            # identical
+    assert 500 < got[(0, 2)] < 1000       # near dup
+    assert got[(3, 4)] < 300              # unrelated, still computed
