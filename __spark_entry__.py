@@ -189,6 +189,12 @@ def q_token_stats(spark, sf_dir):
     return token_stats(_docs(spark, sf_dir))
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    from rs_trafilatura_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
 def q_language_id(spark, sf_dir):
     from rs_trafilatura_spark.operators.textstats import language_id
 
@@ -387,6 +393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stage_metrics": q_extract_stage_metrics,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
@@ -512,6 +519,18 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(string_split(text, ' '))) AS distinct_cnt, "
             "CAST(floor(1000.0 * len(list_distinct(string_split(text, ' '))) "
             "/ len(string_split(text, ' '))) AS BIGINT) AS uniq_ratio_x1000 "
+            "FROM documents"
+        ),
+        "bpe_token_stats": (
+            # same regex, RE2 side; constructs chosen to agree with Java
+            # regex (see operators/textstats.py::BPE_ISH_PATTERN)
+            "SELECT doc_id, len(string_split(text, ' ')) AS ws_token_cnt, "
+            "CAST(len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+')) "
+            "AS BIGINT) AS bpe_ish_cnt, "
+            "CAST(floor(1000.0 * len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+')) "
+            "/ len(string_split(text, ' '))) AS BIGINT) AS bpe_per_ws_x1000 "
             "FROM documents"
         ),
         "language_id": (

@@ -90,3 +90,27 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
     )
+
+
+# GPT-2-ish pre-tokenizer approximation: contraction suffixes, letter runs,
+# digit runs, punctuation runs.  Kept to constructs whose semantics agree
+# between Java regex (Spark codegen) and RE2 (DuckDB) so the oracle is
+# engine-independent.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s']+"
+
+
+def bpe_token_stats(documents: DataFrame) -> DataFrame:
+    """BPE-ish token counts alongside whitespace tokens: the LLM-pipeline
+    sizing stat (whitespace undercounts punctuation-heavy text; real BPE
+    needs the model's merges table — this regex is the standard
+    pre-tokenizer approximation and stays whole-stage-codegen JVM-side)."""
+    words = F.split(F.col("text"), " ")
+    # F.regexp_count, not F.expr: SQL string literals eat the \s escape
+    bpe = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
+    return documents.select(
+        F.col("doc_id"),
+        F.size(words).alias("ws_token_cnt"),
+        bpe.cast("long").alias("bpe_ish_cnt"),
+        F.floor(F.lit(1000) * bpe / F.size(words)).cast("long")
+        .alias("bpe_per_ws_x1000"),
+    )

@@ -190,3 +190,19 @@ def test_jaccard_on_pairs_contract(docs):
     assert got[(0, 1)] == 1000            # identical
     assert 500 < got[(0, 2)] < 1000       # near dup
     assert got[(3, 4)] < 300              # unrelated, still computed
+
+
+def test_bpe_token_stats(spark):
+    from rs_trafilatura_spark.operators.textstats import bpe_token_stats
+
+    df = spark.createDataFrame(
+        [(0, "It's a test, isn't it? 123 tokens-here... (yes)"),
+         (1, "plain words only here")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in bpe_token_stats(df).collect()}
+    # matches python re.findall on the same pattern (verified cross-engine)
+    assert got[0]["bpe_ish_cnt"] == 17
+    assert got[1]["bpe_ish_cnt"] == 4
+    assert got[1]["ws_token_cnt"] == 4
+    assert got[1]["bpe_per_ws_x1000"] == 1000
