@@ -348,6 +348,29 @@ def q_multimodal_image_meta(spark, sf_dir):
 
 
 
+def q_multimodal_resize(spark, sf_dir):
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.multimodal import (
+        documents_as_fake_images,
+        resize_images,
+    )
+
+    return resize_images(documents_as_fake_images(_docs(spark, sf_dir)),
+                         max_dim=256)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """One-to-many frame sampling: output cardinality is sum(ceil(len/64))
+    over docs — the oracle reproduces the explosion with generate_series."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.multimodal import (
+        documents_as_fake_images,
+        sample_frames,
+    )
+
+    return sample_frames(documents_as_fake_images(_docs(spark, sf_dir)))
+
+
 def q_page_type_features(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.features import page_type_features
@@ -406,6 +429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "embedding_near_dups": q_embedding_near_dups,
         "multimodal_image_meta": q_multimodal_image_meta,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
         "page_type_features": q_page_type_features,
         "topk_per_source": q_topk_per_source,
         "sessionize_events": q_sessionize_events,
@@ -675,5 +700,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, length(text) AS byte_len, "
             "length(text) % 1024 AS fake_width, "
             "(length(text) * 7) % 768 AS fake_height FROM documents"
+        ),
+        "multimodal_resize": (
+            # mirror of the fake resizer's double arithmetic: s = min(1,
+            # 256/max(w,h,1)); dims/bytes scale by s / s^2, truncated
+            "WITH d AS (SELECT doc_id, length(text) AS n, "
+            "length(text) % 1024 AS w, (length(text) * 7) % 768 AS h "
+            "FROM documents), "
+            "s AS (SELECT doc_id, n, w, h, "
+            "LEAST(1.0, 256.0 / GREATEST(w, h, 1)) AS sc FROM d) "
+            "SELECT doc_id, "
+            "CAST(floor(w * sc) AS BIGINT) AS new_width, "
+            "CAST(floor(h * sc) AS BIGINT) AS new_height, "
+            "CAST(floor(n * sc * sc) AS BIGINT) AS resized_len FROM s"
+        ),
+        "multimodal_frame_sample": (
+            # one row per 64-byte chunk with 25fps timestamps
+            "SELECT doc_id, t.i AS frame_idx, t.i * 40 AS ts_ms, "
+            "CASE WHEN (t.i + 1) * 64 <= length(text) THEN 64 "
+            "ELSE length(text) - t.i * 64 END AS frame_len "
+            "FROM documents, LATERAL unnest(range(GREATEST(1, "
+            "CAST(ceil(length(text) / 64.0) AS BIGINT)))) AS t(i)"
         ),
     }

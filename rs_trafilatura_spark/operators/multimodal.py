@@ -73,3 +73,84 @@ def documents_as_fake_images(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("image_bytes")
     )
+
+
+# --- resize (feature-transform slot) --------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("new_width", T.LongType(), False),
+    T.StructField("new_height", T.LongType(), False),
+    T.StructField("resized_len", T.LongType(), False),
+])
+
+
+def resize_image_batches(max_dim: int):
+    """Arrow-batched fake resizer: scales the deterministic fake dims to fit
+    ``max_dim`` (aspect preserved) and models the byte cost as area-scaled.
+    A real deployment swaps the body for PIL thumbnail/encode — the batch
+    shape, schema and partitioning are the production plumbing."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["image_bytes"].map(len)
+            w = lens % 1024
+            h = (lens * 7) % 768
+            longest = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
+            scale = (max_dim / longest).clip(upper=1.0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "new_width": (w * scale).map(int),
+                "new_height": (h * scale).map(int),
+                "resized_len": (lens * scale * scale).map(int),
+            })
+    return gen
+
+
+def resize_images(df_with_binary: DataFrame, max_dim: int = 256) -> DataFrame:
+    return df_with_binary.select("doc_id", "image_bytes").mapInPandas(
+        resize_image_batches(max_dim), schema=RESIZED_SCHEMA
+    )
+
+
+# --- frame sampling (one-to-many slot) -----------------------------------------------
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("ts_ms", T.LongType(), False),
+    T.StructField("frame_len", T.LongType(), False),
+])
+
+FRAME_BYTES = 64
+FRAME_INTERVAL_MS = 40  # 25 fps
+
+
+def frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One-to-MANY mapInPandas: each fake video (binary) explodes into one
+    row per FRAME_BYTES chunk with a timestamp — the exact plumbing shape
+    of real frame sampling (ffmpeg keyframe extraction swaps in), where
+    output cardinality != input cardinality and Arrow batches re-chunk
+    downstream."""
+    for pdf in batches:
+        doc_ids, idxs, tss, lens = [], [], [], []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["image_bytes"]):
+            n = len(blob)
+            n_frames = max(1, -(-n // FRAME_BYTES))
+            for i in range(n_frames):
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                tss.append(i * FRAME_INTERVAL_MS)
+                lens.append(
+                    FRAME_BYTES if (i + 1) * FRAME_BYTES <= n
+                    else n - i * FRAME_BYTES
+                )
+        yield pd.DataFrame({
+            "doc_id": doc_ids, "frame_idx": idxs,
+            "ts_ms": tss, "frame_len": lens,
+        })
+
+
+def sample_frames(df_with_binary: DataFrame) -> DataFrame:
+    return df_with_binary.select("doc_id", "image_bytes").mapInPandas(
+        frame_sample_batches, schema=FRAME_SCHEMA
+    )

@@ -206,3 +206,30 @@ def test_bpe_token_stats(spark):
     assert got[1]["bpe_ish_cnt"] == 4
     assert got[1]["ws_token_cnt"] == 4
     assert got[1]["bpe_per_ws_x1000"] == 1000
+
+
+def test_multimodal_resize_and_frames(spark):
+    from rs_trafilatura_spark.operators.multimodal import (
+        FRAME_BYTES,
+        resize_images,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 2000), (2, b"y" * 30)], ["doc_id", "image_bytes"]
+    )
+    rs = {r["doc_id"]: r for r in resize_images(df, max_dim=256).collect()}
+    # doc 1: w=2000%1024=976, h=14000%768=176 -> scale 256/976
+    assert rs[1]["new_width"] == int(976 * (256 / 976))
+    assert rs[1]["new_height"] == int(176 * (256 / 976))
+    # doc 2: w=30, h=210 -> scale 1.0 (already small)... h=30*7%768=210
+    assert rs[2]["new_width"] == 30
+
+    frames = sample_frames(df).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == -(-2000 // FRAME_BYTES)  # one-to-many
+    assert len(by_doc[2]) == 1
+    assert sum(r["frame_len"] for r in by_doc[1]) == 2000
+    assert [r["ts_ms"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])][:3] == [0, 40, 80]
