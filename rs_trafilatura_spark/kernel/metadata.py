@@ -222,7 +222,10 @@ def _jsonld_metadata(doc: Document, meta: dict) -> None:
 
 def _meta_tags(doc: Document, meta: dict) -> None:
     for m in select(doc.root, "meta"):
-        key = (m.get("property") or m.get("name") or m.get("itemprop") or "").strip().lower()
+        # http-equiv="content-language" is the legacy language channel the
+        # reference reads too (extract.rs:1753-1757)
+        key = (m.get("property") or m.get("name") or m.get("itemprop")
+               or m.get("http-equiv") or "").strip().lower()
         content = m.get("content")
         if not key or not content:
             continue
