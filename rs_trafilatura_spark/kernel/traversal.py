@@ -247,13 +247,16 @@ def extract_filtered_html(
         keep = tag in _HTML_WHITELIST
         if keep:
             attrs = ""
-            if not opts.include_links and tag == "a":
-                keep = False  # unwrap links when disabled
-            else:
-                for k in _KEPT_ATTRS.get(tag, ()):
-                    v = el.get(k)
-                    if v:
-                        attrs += f' {k}="{escape_attr(v)}"'
+            # include_links=False keeps the <a> TAG but drops href — the
+            # reference's attribute whitelist gates href on the option, it
+            # never unwraps the element (html_output_test.rs expects
+            # '<a>link</a>' without href)
+            for k in _KEPT_ATTRS.get(tag, ()):
+                if tag == "a" and k == "href" and not opts.include_links:
+                    continue
+                v = el.get(k)
+                if v:
+                    attrs += f' {k}="{escape_attr(v)}"'
         if keep:
             if tag == "br":
                 out.append("<br/>")
