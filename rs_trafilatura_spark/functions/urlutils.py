@@ -53,16 +53,17 @@ def create_absolute_url(href: str, base_url: str) -> Optional[str]:
 
 
 def extract_filename(url: str) -> str:
-    """Last path segment without query/fragment or extension
-    (reference url_utils.rs:229-253)."""
-    try:
-        path = urlparse(url).path
-    except ValueError:
+    """Last path segment with query/fragment stripped, EXTENSION KEPT
+    (reference url_utils.rs:229-254 — it never strips the extension);
+    empty-looking segments ('', '.', '..') become ''."""
+    seg = url.strip().split("?", 1)[0].split("#", 1)[0]
+    seg = seg.rsplit("/", 1)[-1].strip()
+    if seg in ("", ".", ".."):
         return ""
-    seg = path.rstrip("/").rsplit("/", 1)[-1]
-    return seg.rsplit(".", 1)[0] if "." in seg else seg
+    return seg
 
 
 def filenames_match(a: str, b: str) -> bool:
+    """Case-insensitive filename equality (url_utils.rs:268-276)."""
     fa, fb = extract_filename(a), extract_filename(b)
-    return bool(fa) and fa == fb
+    return bool(fa) and bool(fb) and fa.lower() == fb.lower()
