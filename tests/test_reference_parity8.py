@@ -62,3 +62,36 @@ def test_figcaption_whitespace_normalized():
     r = extract(html, Options(include_images=True))
     assert len(r["images"]) == 1
     assert r["images"][0]["caption"] == "Caption with multiple spaces and newlines."
+
+
+# --- tests/options_test.rs --------------------------------------------------------
+
+
+def test_options_default_values():
+    """options_test.rs (options_default_values_are_sensible)."""
+    o = Options()
+    assert not o.include_comments
+    assert o.include_tables
+    assert not o.include_images
+    assert not o.include_links
+    assert not o.favor_precision
+    assert not o.favor_recall
+    assert o.target_language is None
+    assert o.url is None
+
+
+def test_options_url_used_for_hostname():
+    """options_test.rs (extract_with_options_can_use_options_url_for_hostname_extraction)."""
+    r = extract("<html><body><article><p>ARTICLE_MARKER</p></article></body></html>",
+                Options(url="https://example.com/some/path"))
+    assert r["hostname"] == "example.com"
+
+
+def test_default_options_equal_plain_extract():
+    """options_test.rs (extract_and_extract_with_default_options_match)."""
+    html = "<html><body><article><p>ARTICLE_MARKER</p></article></body></html>"
+    a = extract(html)
+    b = extract(html, Options())
+    for k in ("content_text", "content_html", "comments_text",
+              "comments_html", "title", "stage"):
+        assert a[k] == b[k], k
