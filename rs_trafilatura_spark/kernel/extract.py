@@ -335,6 +335,13 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     ):
         warnings.append("Insufficient content after extraction")
     if len(text) > opts.max_extracted_len:
+        # Span contract under truncation: source spans (kind = tag name)
+        # index the ORIGINAL html and are kept as-is — they describe where
+        # content came from, not what survived the cap; the
+        # "Content truncated" warning marks rows where the tail spans'
+        # text no longer appears in content_text.  Output-relative spans
+        # ("out:<stage>") are computed AFTER this point, so they always
+        # match the truncated text.
         text = text[: opts.max_extracted_len]
         warnings.append("Content truncated at max_extracted_len")
     if not text:

@@ -80,13 +80,20 @@ def knn_join_exact(embeddings: DataFrame, k: int = 3) -> DataFrame:
 
 
 def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """All XOR masks with popcount ≤ probe_bits over n_planes sign bits
+    (generic k-bit combinations, so the parameter contract matches
+    behavior for any probe_bits)."""
+    from itertools import combinations
+
+    if probe_bits > n_planes:
+        raise ValueError(
+            f"probe_bits={probe_bits} exceeds n_planes={n_planes}"
+        )
     masks = [0]
-    if probe_bits >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_bits >= 2:
+    for k in range(1, probe_bits + 1):
         masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes) for j in range(i + 1, n_planes)
+            sum(1 << i for i in bits)
+            for bits in combinations(range(n_planes), k)
         ]
     return masks
 

@@ -96,21 +96,25 @@ def run_extraction_checkpointed(
             if verify_input_fingerprint and "input_fingerprint" in done[k]:
                 # xor-of-hashes alone is blind to even-multiplicity changes
                 # (url added twice xors to zero), so cross-check the row
-                # count too — the kernel emits exactly one row per page, so
-                # manifest rows == input rows
+                # count too.  The manifest records the INPUT row count
+                # explicitly (older manifests reused the output-row sum,
+                # valid only while the kernel is row-preserving — accept it
+                # as a fallback for resume of pre-upgrade runs).
                 row = (
                     chunked.filter(F.col("_chunk") == k)
                     .select(F.xxhash64(F.col("url")).alias("h"))
                     .agg(F.expr("bit_xor(h)").alias("f"),
                          F.count("*").alias("n")).collect()[0]
                 )
+                expected_rows = done[k].get("input_rows", done[k].get("rows"))
                 if (str(row["f"]) != done[k]["input_fingerprint"]
-                        or ("rows" in done[k] and row["n"] != done[k]["rows"])):
+                        or (expected_rows is not None
+                            and row["n"] != expected_rows)):
                     raise ValueError(
                         f"chunk {k} input changed since the manifest was "
                         f"written (fingerprint {row['f']}/rows {row['n']} vs "
                         f"{done[k]['input_fingerprint']}/"
-                        f"{done[k].get('rows')}); refusing to skip"
+                        f"{expected_rows}); refusing to skip"
                     )
             continue
         t0 = time.time()
@@ -129,15 +133,17 @@ def run_extraction_checkpointed(
             for r in written.groupBy("stage").agg(F.count("*").alias("n")).collect()
         }
         n_rows = sum(stage_counts.values())
-        fingerprint = (
+        fp_row = (
             chunk_df.select(F.xxhash64(F.col("url")).alias("h"))
-            .agg(F.expr("bit_xor(h)").alias("f")).collect()[0]["f"]
+            .agg(F.expr("bit_xor(h)").alias("f"),
+                 F.count("*").alias("n")).collect()[0]
         )
         _write_manifest_entry(output_path, {
             "chunk_id": k,
             "n_chunks": n_chunks,
             "rows": n_rows,
-            "input_fingerprint": str(fingerprint),
+            "input_rows": fp_row["n"],
+            "input_fingerprint": str(fp_row["f"]),
             "stages": stage_counts,
             "wall_time_sec": round(time.time() - t0, 3),
             "options_dedup": options.deduplicate,

@@ -23,7 +23,14 @@ _DATA_FILE_EXT = (".parquet", ".orc", ".json", ".csv", ".avro")
 def detect_format(path: str) -> str:
     """Catalog identifiers (cat.db.table) mean Iceberg; anything that looks
     like a filesystem location — a separator, a data-file extension, or an
-    existing local path like 'pages.parquet' in cwd — means parquet."""
+    existing local path like 'pages.parquet' in cwd — means parquet.
+
+    An explicit ``iceberg:`` / ``parquet:`` scheme prefix overrides
+    detection.  At scale prefer passing ``fmt`` explicitly (or a scheme):
+    ``os.path.exists`` is driver-local, so a relative dataset path shaped
+    like ``a.b.c`` that isn't visible on the driver would be misread as an
+    Iceberg identifier, and a catalog identifier colliding with a local
+    file would silently read parquet."""
     if ("/" in path or "\\" in path
             or path.lower().endswith(_DATA_FILE_EXT)
             or os.path.exists(path)):
@@ -31,12 +38,21 @@ def detect_format(path: str) -> str:
     return "iceberg" if _TABLE_IDENT_RE.match(path) else "parquet"
 
 
+def _split_scheme(path: str) -> tuple[Optional[str], str]:
+    """Strip an explicit 'iceberg:'/'parquet:' scheme prefix if present."""
+    for scheme in ("iceberg", "parquet"):
+        if path.startswith(scheme + ":"):
+            return scheme, path[len(scheme) + 1:]
+    return None, path
+
+
 def read_pages(spark: SparkSession, path: str,
                fmt: Optional[str] = None) -> DataFrame:
     """Scan the pages table.  Column pruning and predicate pushdown reach
     the scan in both formats (verify with .explain: PushedFilters /
     ReadSchema)."""
-    fmt = fmt or detect_format(path)
+    scheme, path = _split_scheme(path)
+    fmt = fmt or scheme or detect_format(path)
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(path)
     if fmt == "parquet":
@@ -50,7 +66,8 @@ def write_output(df: DataFrame, path: str, fmt: Optional[str] = None,
     """Write the extraction output partitioned (north rule: partitioned
     Iceberg tables out).  Default partition column is the cascade stage —
     low cardinality, and the first thing corpus audits filter on."""
-    fmt = fmt or detect_format(path)
+    scheme, path = _split_scheme(path)
+    fmt = fmt or scheme or detect_format(path)
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

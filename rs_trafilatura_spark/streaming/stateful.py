@@ -46,10 +46,15 @@ STATE_SCHEMA = T.StructType([
 
 
 def _dedup_against_state(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    salted: bool = False,
 ) -> Iterator[pd.DataFrame]:
-    # key[0] may be a salted host ("example.com#3"); report the raw host
-    raw_host = key[0].rsplit("#", 1)[0] if key[0] else key[0]
+    # With n_salts>1 the key is a salted host ("example.com#3"): report the
+    # raw host.  Unsalted keys pass through verbatim — a host value that
+    # legitimately contains '#' (malformed crawl data) is never mangled.
+    raw_host = key[0]
+    if salted and raw_host:
+        raw_host = raw_host.rsplit("#", 1)[0]
     if state.hasTimedOut:
         state.remove()
         return
@@ -106,8 +111,10 @@ def host_dedup_stream(extracted_stream: DataFrame,
     keyed = extracted_stream.select(
         host.alias("host"), "url", "content_text",
     )
+    from functools import partial
+
     return keyed.groupBy("host").applyInPandasWithState(
-        _dedup_against_state,
+        partial(_dedup_against_state, salted=n_salts > 1),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

@@ -233,3 +233,20 @@ def test_multimodal_resize_and_frames(spark):
     assert len(by_doc[2]) == 1
     assert sum(r["frame_len"] for r in by_doc[1]) == 2000
     assert [r["ts_ms"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])][:3] == [0, 40, 80]
+
+
+def test_probe_masks_generic_k():
+    # ADVICE r2: probe_bits>=3 used to silently behave like 2
+    from itertools import combinations
+    from rs_trafilatura_spark.operators.similarity import _probe_masks
+
+    import math
+    for n_planes, k in [(6, 1), (6, 2), (6, 3), (8, 4)]:
+        masks = _probe_masks(n_planes, k)
+        expected = sum(math.comb(n_planes, j) for j in range(k + 1))
+        assert len(masks) == expected
+        assert len(set(masks)) == expected
+        assert all(bin(m).count("1") <= k for m in masks)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _probe_masks(4, 5)

@@ -52,3 +52,18 @@ def test_iceberg_branch(spark, tmp_path):
         # our code: proves the flag is wired, not commented out
         with pytest.raises(Exception, match="(?i)iceberg"):
             read_pages(spark, "prod.web.pages", fmt="iceberg").count()
+
+
+def test_detect_format_scheme_prefix(spark, tmp_path):
+    # explicit scheme prefix overrides detection (ADVICE r2: ambiguous
+    # 'a.b.c' relative paths)
+    from rs_trafilatura_spark.sources.tables import _split_scheme
+
+    assert _split_scheme("iceberg:cat.db.t") == ("iceberg", "cat.db.t")
+    assert _split_scheme("parquet:weird.name.dir") == ("parquet", "weird.name.dir")
+    assert _split_scheme("/data/x.parquet") == (None, "/data/x.parquet")
+    # a parquet: prefixed path reads as parquet even though it looks like
+    # a catalog identifier
+    p = str(tmp_path / "weird.name.dir")
+    spark.range(4).write.parquet(p)
+    assert read_pages(spark, "parquet:" + p).count() == 4
