@@ -131,11 +131,149 @@ def _wrap_metadata(documents: DataFrame) -> DataFrame:
     )
 
 
-def _run_kernel(spark: SparkSession, pages: DataFrame) -> DataFrame:
+def _run_kernel(spark: SparkSession, pages: DataFrame,
+                options=None) -> DataFrame:
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.plans import run_extraction
+    from rs_trafilatura_spark.options import DEFAULT_OPTIONS
 
-    return run_extraction(spark, pages, target_partitions=8)
+    return run_extraction(spark, pages, options or DEFAULT_OPTIONS,
+                          target_partitions=8)
+
+
+def _id_str():
+    return F.col("doc_id").cast("string")
+
+
+def _wrap_structured(documents: DataFrame) -> DataFrame:
+    """Template S: h2 + p + ul article — the structured-output surface
+    (content_html whitelist emitter + GFM markdown walker) becomes fully
+    predictable from the template constants."""
+    i = _id_str()
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(" - Structured Site</title></head><body><article><h2>Section "),
+        i,
+        F.lit("</h2><p>"), F.col("text"),
+        F.lit("</p><ul><li>Alpha note "), i,
+        F.lit("</li><li>Beta note "), i,
+        F.lit("</li></ul></article></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://www.structured.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _wrap_images(documents: DataFrame) -> DataFrame:
+    """Template I: figure+figcaption+plain img with og:image hero match
+    (reference extract.rs:3352-3565 semantics)."""
+    i = _id_str()
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(' - Image Site</title><meta property="og:image" '
+              'content="https://cdn.example.com/img/hero-'), i,
+        F.lit('.jpg"></head><body><article><figure><img src="/img/fig-'), i,
+        F.lit('.png" alt="Figure '), i,
+        F.lit('"><figcaption>Caption '), i,
+        F.lit("</figcaption></figure><p>"), F.col("text"),
+        F.lit('</p><img src="/img/hero-'), i,
+        F.lit('.jpg" alt="Hero '), i,
+        F.lit('"></article></body></html>'),
+    )
+    return documents.select(
+        F.concat(F.lit("https://www.imgsite.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _wrap_comments(documents: DataFrame) -> DataFrame:
+    """Template C: article + #comments section with two text-derived
+    comments (largest-comment-section rule, extract.rs:3568-3636)."""
+    i = _id_str()
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(" - Comment Site</title></head><body><article><p>"),
+        F.col("text"),
+        F.lit('</p></article><div id="comments">'
+              '<div class="comment"><p>First take: '),
+        F.col("text"),
+        F.lit('</p></div><div class="comment"><p>Second take: '),
+        F.col("text"),
+        F.lit("</p></div></div></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://www.commentsite.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+_TYPED_FAMILIES = ("forum", "product", "documentation")
+
+
+def _wrap_typed(documents: DataFrame) -> DataFrame:
+    """Templates T: one page per (doc, family) for the three URL-typed
+    families whose URL-stage and ML-stage classifications provably agree →
+    classification_confidence hits the 1.0 agreement constant
+    (extract.rs:55-92; kernel/page_type.py::classify_page)."""
+    i = _id_str()
+    fam = F.explode(F.array(*[F.lit(f) for f in _TYPED_FAMILIES])).alias("family")
+    d = documents.select("doc_id", "text", "lang", fam)
+    url = (
+        F.when(F.col("family") == "forum",
+               F.concat(F.lit("https://community.example/thread/topic-"), i))
+        .when(F.col("family") == "product",
+              F.concat(F.lit("https://shop.example/product/widget-"), i))
+        .otherwise(F.concat(F.lit("https://docs.example.org/docs/guide-"), i))
+    )
+    forum_html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Thread '), i,
+        F.lit(' - Community</title></head><body><div class="post-stream" '
+              'itemtype="https://schema.org/DiscussionForumPosting">'
+              '<div class="topic-body"><p>'),
+        F.col("text"),
+        F.lit('</p></div><div class="topic-body"><p>Reply '), i,
+        F.lit(" agrees with the topic and adds several additional words of "
+              "discussion content here.</p></div></div></body></html>"),
+    )
+    product_html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Widget '), i,
+        F.lit(' - Shop</title></head><body><div class="product-info" '
+              'itemtype="https://schema.org/Product"><h1>Widget '), i,
+        F.lit('</h1><div class="product-description"><p>'),
+        F.col("text"),
+        F.lit('</p></div><button class="add-to-cart">Add to cart</button>'
+              '<span class="product-price">$'), i,
+        F.lit("</span></div></body></html>"),
+    )
+    docs_html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Guide '), i,
+        F.lit(' - Docs</title></head><body><nav class="docs-sidebar">'
+              '<a href="/docs/a">A</a></nav><div role="main"><h1>Guide '), i,
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><pre><code>example code one</code></pre>"
+              "<pre><code>example code two</code></pre>"
+              "<pre><code>example code three</code></pre>"
+              "</div></body></html>"),
+    )
+    html = (
+        F.when(F.col("family") == "forum", forum_html)
+        .when(F.col("family") == "product", product_html)
+        .otherwise(docs_html)
+    )
+    return d.select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+        F.col("family"),
+    )
 
 
 # --- query functions -------------------------------------------------------------
@@ -386,6 +524,72 @@ def q_page_type_features(spark, sf_dir):
     )
 
 
+def q_extract_structured(spark, sf_dir):
+    """Structured output surfaces: the whitelist HTML emitter and the GFM
+    markdown walker over an h2+p+ul article — both fully predictable from
+    the template constants (traversal.py::extract_filtered_html,
+    functions/markdown.py)."""
+    from rs_trafilatura_spark.options import Options
+
+    out = _run_kernel(spark, _wrap_structured(_docs(spark, sf_dir)),
+                      Options(output_markdown=True))
+    return out.select("url", "content_html", "content_markdown")
+
+
+def q_extract_images(spark, sf_dir):
+    """Image extraction surface (extract.rs:3352-3565 semantics): figure
+    caption pairing, filename derivation, og:image hero match; one output
+    row per image via posexplode."""
+    from rs_trafilatura_spark.options import Options
+
+    out = _run_kernel(spark, _wrap_images(_docs(spark, sf_dir)),
+                      Options(include_images=True))
+    img = F.posexplode("images")
+    return out.select("url", img).select(
+        "url",
+        F.col("pos").cast("long").alias("img_idx"),
+        F.col("col.src").alias("src"),
+        F.col("col.filename").alias("filename"),
+        F.col("col.alt").alias("alt"),
+        F.col("col.caption").alias("caption"),
+        F.col("col.is_hero").alias("is_hero"),
+    )
+
+
+def q_extract_comments(spark, sf_dir):
+    """Comments surface: #comments id-probe, filtered traversal with
+    comment classes as content, min_output_comm_size word gate
+    (extract.rs:3568-3636, 1123-1133); article text must stay free of the
+    comment bodies."""
+    from rs_trafilatura_spark.options import Options
+
+    out = _run_kernel(spark, _wrap_comments(_docs(spark, sf_dir)),
+                      Options(include_comments=True))
+    return out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        "comments_text",
+        "comments_html",
+    )
+
+
+def q_page_type_predict(spark, sf_dir):
+    """End-to-end page-type prediction on the three URL-typed families:
+    URL stage and ML stage agree on every page, so
+    classification_confidence is exactly the 1.0 agreement constant
+    (extract.rs:55-92)."""
+    out = _run_kernel(spark, _wrap_typed(_docs(spark, sf_dir)))
+    family = (
+        F.when(F.col("url").startswith("https://community."), F.lit("forum"))
+        .when(F.col("url").startswith("https://shop."), F.lit("product"))
+        .otherwise(F.lit("documentation"))
+    )
+    return out.select(
+        "url", family.alias("family"), "page_type",
+        F.col("classification_confidence").alias("confidence"),
+    )
+
+
 def q_topk_per_source(spark, sf_dir):
     from rs_trafilatura_spark.operators.windows import topk_docs_per_source
 
@@ -432,6 +636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "page_type_features": q_page_type_features,
+        "extract_structured": q_extract_structured,
+        "extract_images": q_extract_images,
+        "extract_comments": q_extract_comments,
+        "page_type_predict": q_page_type_predict,
         "topk_per_source": q_topk_per_source,
         "sessionize_events": q_sessionize_events,
     }
@@ -617,6 +825,47 @@ def oracle_sql() -> dict[str, str]:
             "1.0 AS f_article_path, "
             "CASE WHEN length(text) > 20 THEN 1.0 ELSE 0.0 END AS f_p_count, "
             "1.0 AS f_has_article, 89 AS n_features FROM documents"
+        ),
+        "extract_structured": (
+            "SELECT 'https://www.structured.example/blog/doc-' || doc_id "
+            "AS url, "
+            "'<h2>Section ' || doc_id || '</h2><p>' || text || "
+            "'</p><ul><li>Alpha note ' || doc_id || '</li><li>Beta note ' "
+            "|| doc_id || '</li></ul>' AS content_html, "
+            "'## Section ' || doc_id || chr(10) || chr(10) || text || "
+            "chr(10) || chr(10) || '- Alpha note ' || doc_id || chr(10) || "
+            "'- Beta note ' || doc_id AS content_markdown FROM documents"
+        ),
+        "extract_images": (
+            "SELECT 'https://www.imgsite.example/blog/doc-' || doc_id AS url, "
+            "CAST(0 AS BIGINT) AS img_idx, "
+            "'/img/fig-' || doc_id || '.png' AS src, "
+            "'fig-' || doc_id || '.png' AS filename, "
+            "'Figure ' || doc_id AS alt, 'Caption ' || doc_id AS caption, "
+            "FALSE AS is_hero FROM documents "
+            "UNION ALL "
+            "SELECT 'https://www.imgsite.example/blog/doc-' || doc_id, "
+            "CAST(1 AS BIGINT), '/img/hero-' || doc_id || '.jpg', "
+            "'hero-' || doc_id || '.jpg', 'Hero ' || doc_id, NULL, TRUE "
+            "FROM documents"
+        ),
+        "extract_comments": (
+            "SELECT 'https://www.commentsite.example/blog/doc-' || doc_id "
+            "AS url, text, "
+            "'First take: ' || text || chr(10) || chr(10) || "
+            "'Second take: ' || text AS comments_text, "
+            "'<div><p>First take: ' || text || '</p></div>"
+            "<div><p>Second take: ' || text || '</p></div>' AS comments_html "
+            "FROM documents"
+        ),
+        "page_type_predict": (
+            "SELECT 'https://community.example/thread/topic-' || doc_id "
+            "AS url, 'forum' AS family, 'forum' AS page_type, "
+            "1.0 AS confidence FROM documents "
+            "UNION ALL SELECT 'https://shop.example/product/widget-' || "
+            "doc_id, 'product', 'product', 1.0 FROM documents "
+            "UNION ALL SELECT 'https://docs.example.org/docs/guide-' || "
+            "doc_id, 'documentation', 'documentation', 1.0 FROM documents"
         ),
         "topk_per_source": (
             "SELECT source, rank, doc_id, n_chars FROM ("
