@@ -214,6 +214,63 @@ def _wrap_comments(documents: DataFrame) -> DataFrame:
     )
 
 
+def _rt_html(text_col):
+    """Template-A html around an arbitrary text column (shared with
+    _wrap_roundtrip so the oracle's html-length arithmetic holds)."""
+    return F.concat(
+        F.lit(_RT_P1), F.col("lang"),
+        F.lit(_RT_P3), F.col("doc_id").cast("string"),
+        F.lit(_RT_P5 + "<p>"), text_col, F.lit(_RT_P7),
+    )
+
+
+_CUR_BP_PREFIX = "Subscribe to our newsletter today. "
+_CUR_NEAR_TAIL = " Appended closing remark for the near duplicate audit row."
+
+
+def _wrap_curation(documents: DataFrame) -> DataFrame:
+    """Planted curation corpus: every doc gets a base page; docs with
+    doc_id%10==1 are truncated to 100 chars (too_short), %10==3 get two
+    boilerplate keywords prepended (low_quality when short enough); extra
+    pages plant exact duplicates (%10==0) and near duplicates
+    (%10==2, en)."""
+    i = _id_str()
+    base_text = (
+        F.when(F.col("doc_id") % 10 == 1,
+               F.rtrim(F.substring(F.col("text"), 1, 100)))
+        .when(F.col("doc_id") % 10 == 3,
+              F.concat(F.lit(_CUR_BP_PREFIX), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    base = documents.select(
+        F.concat(F.lit("https://www.curated.example/blog/doc-"), i).alias("url"),
+        base_text.alias("etext"), "doc_id", "lang",
+    )
+    dups = documents.filter(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.lit("https://www.curated.example/blog/dup-"), i).alias("url"),
+        F.col("text").alias("etext"), "doc_id", "lang",
+    )
+    nears = documents.filter(
+        (F.col("doc_id") % 10 == 2) & (F.col("lang") == "en")
+    ).select(
+        F.concat(F.lit("https://www.curated.example/blog/near-"), i).alias("url"),
+        F.concat(F.col("text"), F.lit(_CUR_NEAR_TAIL)).alias("etext"),
+        "doc_id", "lang",
+    )
+    rows = base.unionByName(dups).unionByName(nears)
+    return rows.select(
+        "url",
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(_rt_html(F.col("etext")), "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _md5_id(url_col):
+    """SQL-reproducible 60-bit doc id: first 15 hex chars of md5(url)."""
+    return F.conv(F.substring(F.md5(url_col), 1, 15), 16, 10).cast("long")
+
+
 _TYPED_FAMILIES = ("forum", "product", "documentation")
 
 
@@ -514,13 +571,21 @@ def q_page_type_features(spark, sf_dir):
     from rs_trafilatura_spark.operators.features import page_type_features
 
     out = page_type_features(_wrap_roundtrip(_docs(spark, sf_dir)))
-    # project a few stable slots so the check is meaningful but compact
+    # a few named slots for readability, plus a checksum over ALL 89 slots
+    # (sum of floor(1000*slot) — integer arithmetic, so float summation
+    # order can't flip the hash) pinning the whole vector to the oracle
+    checksum = F.aggregate(
+        F.transform("features", lambda x: F.floor(x * 1000)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return out.select(
         "url",
         F.element_at("features", 10).alias("f_article_path"),
         F.element_at("features", 15).alias("f_p_count"),
         F.element_at("features", 19).alias("f_has_article"),
         F.size("features").alias("n_features"),
+        checksum.alias("checksum_x1000"),
     )
 
 
@@ -590,6 +655,80 @@ def q_page_type_predict(spark, sf_dir):
     )
 
 
+def q_curation_audit(spark, sf_dir):
+    """The composed curation pipeline a pretraining user actually runs
+    (plans/curate.py): extraction -> quality gate -> language gate ->
+    exact dedup -> LSH near-dup marking, audited as (url, kept,
+    drop_reason) over a corpus with planted short/low-quality/duplicate/
+    near-duplicate rows.  page_type is pinned so the quality heuristic is
+    SQL-reproducible; the near-dup id is an md5-prefix so the survivor
+    choice is too."""
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans.curate import (
+        curate_pages, mark_near_duplicates,
+    )
+
+    pages = _wrap_curation(_docs(spark, sf_dir))
+    curated = curate_pages(
+        spark, pages, Options(page_type="article"),
+        min_quality=0.5, min_chars=200, languages=("en",),
+    )
+    marked = mark_near_duplicates(curated, 800, id_col=_md5_id)
+    return marked.select(
+        "url",
+        F.col("drop_reason").isNull().alias("kept"),
+        "drop_reason",
+    )
+
+
+def q_resume_manifest(spark, sf_dir):
+    """Checkpoint/resume under the driver's eye: run the chunked
+    extraction twice into the same output dir — run 1 writes all 4 chunks
+    + manifest entries, run 2 (with input-fingerprint verification on)
+    must skip all 4 via the manifest anti-join
+    (sources/checkpoint.py:90-140).  Emits the manifest table; chunk
+    assignment uses an md5-prefix id so the oracle can recompute it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+    from rs_trafilatura_spark.sources.checkpoint import (
+        completed_chunks, run_extraction_checkpointed,
+    )
+
+    _ensure_pyfiles(spark)
+    out_dir = tempfile.mkdtemp(prefix="rs_traf_resume_")
+    try:
+        pages = _wrap_roundtrip(_docs(spark, sf_dir))
+
+        def chunk(url_col):
+            return F.pmod(_md5_id(url_col), F.lit(4))
+
+        s1 = run_extraction_checkpointed(
+            spark, pages, out_dir, n_chunks=4, chunk_col=chunk
+        )
+        s2 = run_extraction_checkpointed(
+            spark, pages, out_dir, n_chunks=4, chunk_col=chunk,
+            verify_input_fingerprint=True,
+        )
+        manifest = completed_chunks(out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    rows = [
+        (int(k), int(v["rows"]), int(v["input_rows"]),
+         int(s1["chunks_run"]), int(s2["chunks_skipped"]))
+        for k, v in sorted(manifest.items())
+    ]
+    schema = T.StructType([
+        T.StructField("chunk_id", T.LongType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("input_rows", T.LongType()),
+        T.StructField("run1_chunks_run", T.LongType()),
+        T.StructField("run2_chunks_skipped", T.LongType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
 def q_topk_per_source(spark, sf_dir):
     from rs_trafilatura_spark.operators.windows import topk_docs_per_source
 
@@ -640,6 +779,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": q_extract_images,
         "extract_comments": q_extract_comments,
         "page_type_predict": q_page_type_predict,
+        "curation_audit": q_curation_audit,
+        "resume_manifest": q_resume_manifest,
         "topk_per_source": q_topk_per_source,
         "sessionize_events": q_sessionize_events,
     }
@@ -684,6 +825,161 @@ def _simhash_pairs_sql(hamming_threshold: int = 3) -> str:
         "FROM fps a JOIN fps b ON a.doc_id < b.doc_id "
         f"WHERE bit_count(xor(a.fp, b.fp)) <= {hamming_threshold}"
     )
+
+
+def _page_type_features_sql() -> str:
+    """Whole-vector checksum oracle: sum of floor(1000*slot) over all 89
+    slots.  9000 covers the 85 template-constant slots; the text-dependent
+    slots are f14/f15 (substantive-paragraph count / mean length), f40
+    (links / paragraph words — 2.0/wc mirrors the kernel's IEEE double
+    division bit-for-bit), f41 (paragraph words), f58 (body text length:
+    nav 'Home Blog' + text + footer concatenate with NO separators, so
+    +23 chars and the first/last text words merge with 'Blog'/'©' in the
+    body word stream), f75-f78 (category word ratios over the body words
+    — the merged first/last words can never match a list word, so the
+    countable words are text words 2..n-1 and the denominator is n+2),
+    f65 (currency chars) and f84 (product-count regex on the merged
+    body)."""
+    from rs_trafilatura_spark.kernel.ml_features import (
+        _COMMERCIAL, _CONTENT_W, _FORUM_W, _TECH_W,
+    )
+
+    def cnt(words):
+        inlist = ", ".join(f"'{w}'" for w in words)
+        return (f"len(list_filter(mid, x -> x IN ({inlist})))")
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS words,
+    length(text) AS L, len(string_split(text, ' ')) AS wc
+  FROM documents
+), mids AS (
+  SELECT doc_id, text, L, wc,
+    words[2:len(words) - 1] AS mid, len(words) + 2 AS T
+  FROM w
+), counted AS (
+  SELECT doc_id, text, L, wc, T,
+    {cnt(_COMMERCIAL)} AS c75, {cnt(_CONTENT_W)} AS c76,
+    {cnt(_TECH_W)} AS c77, {cnt(_FORUM_W)} AS c78,
+    length(text) - length(replace(replace(replace(text, '$', ''),
+      chr(8364), ''), chr(163), '')) AS c65,
+    CASE WHEN regexp_matches('home blog' || lower(text) ||
+      chr(169) || ' docs.example',
+      'showing\\s+\\d+|\\b\\d+\\s+(results|items|products)\\b')
+      THEN 1000 ELSE 0 END AS c84
+  FROM mids
+)
+SELECT 'https://docs.example/blog/doc-' || doc_id AS url,
+  1.0 AS f_article_path,
+  CASE WHEN L > 20 THEN 1.0 ELSE 0.0 END AS f_p_count,
+  1.0 AS f_has_article, 89 AS n_features,
+  9000
+  + CASE WHEN L > 20 THEN 1000 + 1000 * L ELSE 0 END
+  + CAST(floor(1000 * (2.0 / wc)) AS BIGINT)
+  + 1000 * wc + 1000 * (L + 23)
+  + CAST(floor(1000 * (c75 * 1.0 / T)) AS BIGINT)
+  + CAST(floor(1000 * (c76 * 1.0 / T)) AS BIGINT)
+  + CAST(floor(1000 * (c77 * 1.0 / T)) AS BIGINT)
+  + CAST(floor(1000 * (c78 * 1.0 / T)) AS BIGINT)
+  + 1000 * c65 + c84 AS checksum_x1000
+FROM counted
+"""
+
+
+def _curation_audit_sql() -> str:
+    """Gate-cascade mirror of plans/curate.py over the planted corpus:
+    the quality heuristic (kernel/quality.py, page_type pinned 'article'),
+    gate ordering, url-ordered exact dedup and md5-id-ordered LSH near-dup
+    marking are all reproduced in SQL."""
+    from rs_trafilatura_spark.kernel.quality import _BOILERPLATE_KEYWORDS
+
+    hconst = len(_RT_P1) + len(_RT_P3) + len(_RT_P5) + 3 + len(_RT_P7)
+    bp = " + ".join(
+        "CASE WHEN contains(lower(substr(etext, 1, 200)), "
+        f"'{kw}') THEN 1 ELSE 0 END"
+        for kw in _BOILERPLATE_KEYWORDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 10 = 1 THEN rtrim(substr(text, 1, 100))
+         WHEN doc_id % 10 = 3 THEN '{_CUR_BP_PREFIX}' || text
+         ELSE text END AS etext,
+    'https://www.curated.example/blog/doc-' || doc_id AS url
+  FROM documents
+), extra AS (
+  SELECT doc_id, lang, text AS etext,
+    'https://www.curated.example/blog/dup-' || doc_id AS url
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id, lang, text || '{_CUR_NEAR_TAIL}' AS etext,
+    'https://www.curated.example/blog/near-' || doc_id AS url
+  FROM documents WHERE doc_id % 10 = 2 AND lang = 'en'
+), pages AS (
+  SELECT * FROM base UNION ALL SELECT * FROM extra
+), scored AS (
+  SELECT url, etext, lang, length(etext) AS L,
+    {hconst} + length(lang) + length(CAST(doc_id AS VARCHAR))
+      + length(etext) AS H,
+    {bp} AS bp
+  FROM pages
+), quality AS (
+  SELECT url, etext, lang, L,
+    GREATEST(0.0, LEAST(1.0, 1.0
+      - CASE WHEN L * 1.0 / H < 0.005 THEN 0.30
+             WHEN L * 1.0 / H < 0.01 THEN 0.20
+             WHEN L * 1.0 / H < 0.02 THEN 0.10 ELSE 0.0 END
+      - CASE WHEN L * 1.0 / H > 0.30 THEN 0.10 ELSE 0.0 END
+      - CASE WHEN L < 100 THEN 0.30 WHEN L < 750 THEN 0.20
+             WHEN L < 1500 THEN 0.10 ELSE 0.0 END
+      + CASE WHEN L BETWEEN 1500 AND 15000 THEN 0.05 ELSE 0.0 END
+      - CASE WHEN bp >= 2 THEN 0.25 WHEN bp = 1 THEN 0.10 ELSE 0.0 END
+    )) AS q
+  FROM scored
+), gated AS (
+  SELECT url, etext, lang,
+    CASE WHEN L = 0 THEN 'empty'
+         WHEN L < 200 THEN 'too_short'
+         WHEN q < 0.5 THEN 'low_quality'
+         WHEN lang <> 'en' THEN 'language'
+         ELSE NULL END AS reason
+  FROM quality
+), ranked AS (
+  SELECT url, etext, reason,
+    row_number() OVER (PARTITION BY etext
+                       ORDER BY (reason IS NOT NULL), url) AS rn
+  FROM gated
+), exact AS (
+  SELECT url, etext,
+    CASE WHEN reason IS NOT NULL THEN reason
+         WHEN rn > 1 THEN 'exact_duplicate' ELSE NULL END AS reason
+  FROM ranked
+), kept AS (
+  SELECT url, etext, reason,
+    CAST(('0x' || substr(md5(url), 1, 15))::UBIGINT AS BIGINT) AS id
+  FROM exact
+), shingled AS (
+  SELECT id, CASE WHEN len(string_split(etext, ' ')) < 3
+    THEN [etext]
+    ELSE list_distinct(list_transform(
+      range(1, len(string_split(etext, ' ')) - 1),
+      i -> string_split(etext, ' ')[i] || ' ' ||
+           string_split(etext, ' ')[i+1] || ' ' ||
+           string_split(etext, ' ')[i+2])) END AS sh
+  FROM kept WHERE reason IS NULL
+), losers AS (
+  SELECT DISTINCT b.id AS b_id
+  FROM shingled a JOIN shingled b ON a.id < b.id
+  WHERE CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) /
+    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
+    AS BIGINT) >= 800
+)
+SELECT k.url,
+  (k.reason IS NULL AND l.b_id IS NULL) AS kept,
+  CASE WHEN k.reason IS NULL AND l.b_id IS NOT NULL
+       THEN 'near_duplicate' ELSE k.reason END AS drop_reason
+FROM kept k LEFT JOIN losers l ON k.id = l.b_id
+"""
 
 
 def _stop_cases(lang: str) -> str:
@@ -820,12 +1116,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE vec_id = 0) q "
             "WHERE vec_id != 0 ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
         ),
-        "page_type_features": (
-            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
-            "1.0 AS f_article_path, "
-            "CASE WHEN length(text) > 20 THEN 1.0 ELSE 0.0 END AS f_p_count, "
-            "1.0 AS f_has_article, 89 AS n_features FROM documents"
-        ),
+        "page_type_features": _page_type_features_sql(),
         "extract_structured": (
             "SELECT 'https://www.structured.example/blog/doc-' || doc_id "
             "AS url, "
@@ -857,6 +1148,16 @@ def oracle_sql() -> dict[str, str]:
             "'<div><p>First take: ' || text || '</p></div>"
             "<div><p>Second take: ' || text || '</p></div>' AS comments_html "
             "FROM documents"
+        ),
+        "curation_audit": _curation_audit_sql(),
+        "resume_manifest": (
+            "SELECT CAST(('0x' || substr(md5("
+            "'https://docs.example/blog/doc-' || doc_id), 1, 15))::UBIGINT "
+            "% 4 AS BIGINT) AS chunk_id, "
+            "count(*) AS rows, count(*) AS input_rows, "
+            "CAST(4 AS BIGINT) AS run1_chunks_run, "
+            "CAST(4 AS BIGINT) AS run2_chunks_skipped "
+            "FROM documents GROUP BY 1"
         ),
         "page_type_predict": (
             "SELECT 'https://community.example/thread/topic-' || doc_id "

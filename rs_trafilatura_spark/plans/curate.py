@@ -73,24 +73,34 @@ def curate_pages(
 
 
 def mark_near_duplicates(curated: DataFrame,
-                         jaccard_threshold_x1000: int = 800) -> DataFrame:
-    """LSH near-dup pass over the KEPT rows: lower url in each detected
-    pair survives; others get drop_reason=near_duplicate.  Candidates come
+                         jaccard_threshold_x1000: int = 800,
+                         id_col=None) -> DataFrame:
+    """LSH near-dup pass over the KEPT rows: lower-id loser in each
+    detected pair gets drop_reason=near_duplicate.  Candidates come
     from the band-bucket equi-join and are verified with EXACT shingle
     Jaccard (operators/dedup.py::lsh_near_dup_pairs), so cost scales with
     bucket collisions, not corpus^2, and the threshold is a real Jaccard
-    bound, not a signature estimate."""
+    bound, not a signature estimate.
+
+    ``id_col``: optional Column mapping url -> 64-bit doc id (default
+    xxhash64(url)).  Any deterministic injective-in-practice mapping
+    works; an md5-prefix id makes the survivor choice reproducible in
+    engines without xxhash64."""
     from ..operators.dedup import lsh_near_dup_pairs
+
+    def _id(url_col):
+        return (F.xxhash64(url_col) if id_col is None
+                else id_col(url_col))
 
     kept = curated.filter(F.col("drop_reason").isNull())
     docs = kept.select(
-        F.xxhash64("url").alias("doc_id"), F.col("content_text").alias("text")
+        _id(F.col("url")).alias("doc_id"), F.col("content_text").alias("text")
     )
     pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
     losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
     return curated.join(
         losers,
-        F.xxhash64(curated["url"]) == losers["_loser"],
+        _id(curated["url"]) == losers["_loser"],
         "left",
     ).withColumn(
         "drop_reason",

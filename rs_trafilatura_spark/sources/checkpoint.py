@@ -62,6 +62,7 @@ def run_extraction_checkpointed(
     n_chunks: int = 8,
     target_partitions: Optional[int] = None,
     verify_input_fingerprint: bool = False,
+    chunk_col=None,
 ) -> dict:
     """Run extraction chunk-by-chunk with resume. Returns a run summary.
 
@@ -72,9 +73,13 @@ def run_extraction_checkpointed(
     chunk whose input changed (costs one extra scan of the skipped rows;
     off by default since at scale resume exists to avoid rescans).
     """
-    chunked = pages.withColumn(
-        "_chunk", F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int")
+    # ``chunk_col``: optional callable url-Column -> chunk Column (any
+    # deterministic pure function of url); default xxhash64-mod
+    chunk_expr = (
+        F.pmod(F.xxhash64(F.col("url")), F.lit(n_chunks)).cast("int")
+        if chunk_col is None else chunk_col(F.col("url")).cast("int")
     )
+    chunked = pages.withColumn("_chunk", chunk_expr)
     done = completed_chunks(output_path)
     # Chunk ids are only meaningful for the n_chunks they were computed
     # with: resuming a k=8 run with k=16 would silently skip half of every
