@@ -51,6 +51,33 @@ def _is_modal_consent(el: Element) -> bool:
     return el.get("role") == "dialog"
 
 
+_AD_TOKENS = frozenset(
+    {"ad", "ads", "advert", "adverts", "advertisement", "advertisements",
+     "banner", "banners", "sponsor", "sponsored", "promo"}
+)
+_AD_TAGS = frozenset(
+    {"div", "dd", "dt", "li", "ul", "ol", "dl", "p", "section", "span"}
+)
+_AD_SPLIT = __import__("re").compile(r"[^0-9A-Za-z]+")
+
+
+def _is_ad_element(el: Element) -> bool:
+    """Ad/banner containers by class/id token (the reference gets this from
+    its bulk-cleaning preset, html_processing.rs:200-236 — e.g. its own
+    tests expect id="google_ads" and id="banner-ad" removed,
+    boilerplate_test.rs:412-501).  Token match, not substring, so
+    "address"/"downloads" never false-positive (boilerplate_test.rs:504)."""
+    if el.tag not in _AD_TAGS:
+        return False
+    for attr in ("class", "id"):
+        v = el.get(attr)
+        if v and any(
+            t in _AD_TOKENS for t in _AD_SPLIT.split(v.lower()) if t
+        ):
+            return True
+    return False
+
+
 def _inside_article_or_main(el: Element) -> bool:
     for anc in el.ancestors():
         if anc.tag in ("article", "main"):
@@ -105,7 +132,7 @@ def doc_cleaning(body: Element, opts: Options,
     clean_victims: list[Element] = []
     strip_victims: list[Element] = []
     for el in body.iterdesc():
-        if el.tag in to_clean or _is_modal_consent(el):
+        if el.tag in to_clean or _is_modal_consent(el) or _is_ad_element(el):
             clean_victims.append(el)
         elif el.tag in to_strip:
             strip_victims.append(el)

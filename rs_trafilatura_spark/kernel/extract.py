@@ -175,10 +175,13 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
                     content_node = bu
                     stage = "bottom_up"
 
-        # relaxed-boilerplate retry (extract.rs:1445-1469)
-        if len(text) < opts.min_extracted_len:
+        # relaxed-boilerplate retry — the reference only relaxes named-
+        # boilerplate filtering when extraction came back EMPTY
+        # (extract.rs:1445,1456-1466); relaxing on merely-short text leaks
+        # discarded classes (social/share/legal...) into short articles
+        if not text:
             relaxed_text, relaxed_spans = run(content_node, filter_bp=False)
-            if len(relaxed_text) > len(text) * 2:
+            if relaxed_text:
                 text, spans = relaxed_text, relaxed_spans
                 stage = "relaxed_boilerplate"
 
@@ -346,7 +349,9 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         warnings.append("Content truncated at max_extracted_len")
     if not text:
         stage = "empty"
-        warnings.append("No content extracted")
+        # exact reference wording (extract.rs:162) — the extraction_test.rs
+        # family asserts on this string
+        warnings.append("Content extraction failed - no main content found")
 
     # option toggles declared by the reference Options (options.rs:177,214;
     # unused in its live path — wired as real behavior here)
