@@ -145,6 +145,19 @@ def _tag_only(selector: str):
     return frozenset(tags) if tags else None
 
 
+@lru_cache(maxsize=4096)
+def _last_tag_dispatch(selector: str):
+    """For comma unions where every chain's last step names a tag, build
+    {tag: [chains]} — None when any chain is tag-open (must scan all)."""
+    by_tag: dict = {}
+    for ch in _compile(selector):
+        t = ch.steps[-1][1].tag if ch.steps else None
+        if t is None:
+            return None
+        by_tag.setdefault(t, []).append(ch)
+    return by_tag
+
+
 def iter_select(root: Element, selector: str) -> Iterator[Element]:
     """Yield descendants of ``root`` (excluding root itself) matching the
     selector, in document order."""
@@ -174,6 +187,18 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
                         break
                 else:
                     yield el
+        return
+    # multi-chain path: dispatch on each chain's LAST-step tag so most
+    # elements cost one dict probe instead of len(chains) matches() calls
+    by_tag = _last_tag_dispatch(selector)
+    if by_tag is not None:
+        for el in root.iterdesc():
+            lst = by_tag.get(el.tag)
+            if lst is not None:
+                for ch in lst:
+                    if ch.matches(el):
+                        yield el
+                        break
         return
     for el in root.iterdesc():
         for ch in chains:

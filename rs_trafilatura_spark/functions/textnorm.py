@@ -14,12 +14,18 @@ import re
 
 LINE_WHITESPACE = re.compile(r"(?m)^[ \t]+|[ \t]+$")
 MULTIPLE_NEWLINES = re.compile(r"\n{3,}")
-WHITESPACE_NORMALIZE = re.compile(r"\s+")
+# all-whitespace -> single space, but skip lone plain spaces (they map to
+# themselves): runs containing a non-space whitespace char, or 2+ spaces
+WHITESPACE_NORMALIZE = re.compile(r"\s*[^\S ]\s*| {2,}")
 
 _PUNCT = frozenset(".,;:!?")
 
 
-_WS_RUN = re.compile(r"[ \t]+")
+# only runs that actually CHANGE under "collapse to one space": a run
+# containing a tab, or 2+ spaces.  A single plain space maps to itself, and
+# excluding it makes prose (one match per word boundary!) nearly match-free
+# — the sub becomes a scan instead of a 10^4-segment rebuild.
+_WS_RUN = re.compile(r"[ \t]*\t[ \t]*| {2,}")
 _SPACE_BEFORE = re.compile(r" (?=[\n.,;:!?])")
 _SPACE_AFTER_NL = re.compile(r"\n ")
 

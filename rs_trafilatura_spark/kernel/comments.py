@@ -17,14 +17,27 @@ _CLASS_PROBES = ("comments", "comment-list", "respond", "discussion", "disqus",
 
 
 def find_comment_section(doc: Document) -> Optional[Element]:
+    # one walk collecting the first doc-order hit per probe (semantics
+    # identical to the reference's per-probe select_first loop: probe
+    # order outranks document order)
+    id_hits: dict[str, Element] = {}
+    cls_hits: dict[str, Element] = {}
+    id_probe_set = set(_ID_PROBES)
+    for el in doc.root.iterdesc():
+        id_ = el.get("id")
+        if id_ and id_ in id_probe_set and id_ not in id_hits:
+            id_hits[id_] = el
+        cls = el.get("class")
+        if cls:
+            for c in el.classes:
+                if c in _CLASS_PROBES and c not in cls_hits:
+                    cls_hits[c] = el
     for id_ in _ID_PROBES:
-        el = select_first(doc.root, f"#{id_}")
-        if el is not None:
-            return el
+        if id_ in id_hits:
+            return id_hits[id_]
     for cls in _CLASS_PROBES:
-        el = select_first(doc.root, f".{cls}")
-        if el is not None:
-            return el
+        if cls in cls_hits:
+            return cls_hits[cls]
     best: Optional[Element] = None
     best_len = 0
     for el in doc.body.iterdesc():

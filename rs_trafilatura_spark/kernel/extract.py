@@ -41,8 +41,26 @@ def _ensure_recursion_limit() -> None:
         sys.setrecursionlimit(_MIN_RECURSION)
 
 
+_SHORT_TOKEN_RES: dict = {}
+
+
 def _count_words(text: str, min_length: int = 1) -> int:
-    return sum(1 for w in text.split() if len(w) >= min_length)
+    """Tokens of >= min_length chars.  Counted as total tokens minus the
+    (rare in prose) short tokens, so the hot path is one split plus a
+    small findall instead of a 10^5-iteration generator per call."""
+    words = text.split()
+    if min_length <= 1:
+        return len(words)
+    pat = _SHORT_TOKEN_RES.get(min_length)
+    if pat is None:
+        import re as _re
+
+        # standalone runs of 1..min_length-1 non-space chars
+        pat = _re.compile(
+            r"(?<!\S)\S{1,%d}(?!\S)" % (min_length - 1)
+        )
+        _SHORT_TOKEN_RES[min_length] = pat
+    return len(words) - len(pat.findall(text))
 
 
 def _empty_result(warnings: list[str]) -> dict:
@@ -87,8 +105,16 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     else:
         page_type, confidence = classify_page(doc, opts.url)
 
-    # 4. backup clone for fallbacks (extract.rs:113)
-    backup = doc.copy()
+    # 4. backup for fallbacks (extract.rs:113 clones; a fresh parse of the
+    # source is byte-identical to a pre-cleaning clone — nothing before
+    # this point mutates the tree — and doing it LAZILY skips the whole
+    # cost on main-path pages, which never touch the backup)
+    _backup_doc: list = []
+
+    def backup_doc() -> Document:
+        if not _backup_doc:
+            _backup_doc.append(Document(html))
+        return _backup_doc[0]
 
     # 5. early structured-data probes (before cleaning strips <script>)
     jsonld_body = find_jsonld_article_body(doc, min_len=500)
@@ -217,7 +243,7 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if needs_fallback:
         from .fallback import candidate_is_usable
 
-        cand_text, cand_stage = baseline(backup)
+        cand_text, cand_stage = baseline(backup_doc())
         if candidate_is_usable(
             len(cand_text), len(text), content_node,
             opts.min_extracted_size, opts.favor_recall,
@@ -242,7 +268,7 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if profile.collect_repeated_items and len(text) < 3000:
         from .postprocess import try_collect_repeated_items
 
-        collected = try_collect_repeated_items(backup)
+        collected = try_collect_repeated_items(backup_doc())
         if collected and len(collected) > 2 * len(text):
             warnings.append("Used repeated-item collection")
             text, spans, stage = collected, [], "repeated_items"
@@ -251,7 +277,7 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if page_type == CATEGORY:
         from .postprocess import extract_collection_description
 
-        desc = extract_collection_description(backup)
+        desc = extract_collection_description(backup_doc())
         if desc and len(desc) >= 50:
             probe = desc.lower()[: min(len(desc), 60)]
             if probe not in text.lower():
@@ -315,7 +341,7 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if opts.include_images:
         from .images import extract_images
 
-        images = extract_images(backup, content_node, meta.get("image"))
+        images = extract_images(backup_doc(), content_node, meta.get("image"))
 
     # 15. markdown (extract.rs:425-442)
     content_markdown: Optional[str] = None

@@ -26,8 +26,15 @@ def _collect_link_info(links: list[Element]) -> tuple[int, int, int]:
     return link_length, n_short, n_non_empty
 
 
-def link_density_test(el: Element, favor_precision: bool = False) -> bool:
-    """True if the element should be dropped as link-dense navigation."""
+def link_density_test(el: Element, favor_precision: bool = False,
+                      has_links: bool = True) -> bool:
+    """True if the element should be dropped as link-dense navigation.
+
+    ``has_links=False`` (from a caller's precomputed link-ancestor set)
+    short-circuits the subtree scan — identical outcome, since no <a>
+    descendants always returns False."""
+    if not has_links:
+        return False
     links = select(el, "a")
     n_links = len(links)
     if n_links == 0:
@@ -72,8 +79,10 @@ def link_density_test(el: Element, favor_precision: bool = False) -> bool:
     return False
 
 
-def link_density_test_tables(table: Element) -> bool:
+def link_density_test_tables(table: Element, has_links: bool = True) -> bool:
     """True if a table is link-dense boilerplate (link_density.rs:254-285)."""
+    if not has_links:
+        return False
     links = select(table, "a")
     if not links:
         return False

@@ -295,7 +295,9 @@ def _extract_ml_features_slow(doc: Document, url: str = "") -> list[float]:
         root, "[class*='sort-select'], [class*='sort-dropdown'], "
               "[class*='sort-control'], [class*='sort-option']"
     ) else 0.0
-    f[84] = 1.0 if _PRODUCT_COUNT_RE.search(body_lower) else 0.0
+    f[84] = 1.0 if (("showing" in body_lower or "results" in body_lower
+                    or "items" in body_lower or "products" in body_lower)
+                   and _PRODUCT_COUNT_RE.search(body_lower)) else 0.0
     cards = select(
         root, "[class*='product-card'], [class*='product-tile'], "
               "[class*='product-item'], [class*='product-grid-item'], "
@@ -649,7 +651,9 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[81] = 1.0 if has_prodgroup else 0.0
     f[82] = 1.0 if has_filter else 0.0
     f[83] = 1.0 if has_sort else 0.0
-    f[84] = 1.0 if _PRODUCT_COUNT_RE.search(body_lower) else 0.0
+    f[84] = 1.0 if (("showing" in body_lower or "results" in body_lower
+                    or "items" in body_lower or "products" in body_lower)
+                   and _PRODUCT_COUNT_RE.search(body_lower)) else 0.0
     # card has a price descendant: one ancestor walk per price element
     cards_priced: set = set()
     for pe in price_els:

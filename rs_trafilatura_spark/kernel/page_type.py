@@ -124,19 +124,45 @@ def refine_with_html_signals(doc: Document, url_type: Optional[str]) -> tuple[st
             elif t in ("itemlist", "collectionpage"):
                 signals[CATEGORY] = signals.get(CATEGORY, 0) + 1
 
-    # forum DOM markers
-    if select(doc.root, "[itemtype*='DiscussionForumPosting'], [class*='post-stream'], [id*='discourse']"):
+    # forum / docs / product attribute markers + code-block count, gathered
+    # in ONE walk (semantics identical to the previous [attr*=] selector
+    # probes — substring on the raw attribute value)
+    has_forum_marker = has_docs_nav = has_product_marker = False
+    n_code = 0
+    for el in doc.root.iterdesc():
+        attrib = el.attrib
+        cls = attrib.get("class", "")
+        if not has_forum_marker:
+            if ("DiscussionForumPosting" in attrib.get("itemtype", "")
+                    or "post-stream" in cls
+                    or "discourse" in attrib.get("id", "")):
+                has_forum_marker = True
+        if not has_docs_nav:
+            if "docs-sidebar" in cls or "doc-nav" in cls or "toc" in cls:
+                has_docs_nav = True
+        if not has_product_marker:
+            if ("add-to-cart" in cls or "add-to-cart" in attrib.get("id", "")
+                    or "product-price" in cls):
+                has_product_marker = True
+        if el.tag == "code":
+            # 'pre code' descendant semantics, not just direct child
+            anc = el.parent
+            while anc is not None:
+                if anc.tag == "pre":
+                    n_code += 1
+                    break
+                anc = anc.parent
+    if has_forum_marker:
         signals[FORUM] = signals.get(FORUM, 0) + 3
 
     # docs markers: code blocks + docs nav
-    n_code = len(select(doc.root, "pre code, pre > code"))
     if n_code >= 3:
         signals[DOCUMENTATION] = signals.get(DOCUMENTATION, 0) + 2
-    if select(doc.root, "[class*='docs-sidebar'], [class*='doc-nav'], [class*='toc']"):
+    if has_docs_nav:
         signals[DOCUMENTATION] = signals.get(DOCUMENTATION, 0) + 1
 
     # product markers
-    if select(doc.root, "[class*='add-to-cart'], [id*='add-to-cart'], [class*='product-price']"):
+    if has_product_marker:
         signals[PRODUCT] = signals.get(PRODUCT, 0) + 2
 
     html_type = max(signals, key=signals.get) if signals else None

@@ -114,6 +114,42 @@ def _element_excluded(
     return False
 
 
+def _link_ancestor_ids(root: Element) -> set:
+    """ids of elements (under and including root) with an <a> descendant —
+    one O(links*depth) pass so link-density tests skip linkless subtrees."""
+    marked: set = set()
+    for el in root.iterdesc():
+        if el.tag == "a":
+            anc = el.parent
+            while anc is not None and id(anc) not in marked:
+                marked.add(id(anc))
+                if anc is root:
+                    break
+                anc = anc.parent
+    return marked
+
+
+def _text_if_shorter(el: Element, limit: int) -> Optional[str]:
+    """el.iter_text_joined(' ').strip() when its length is < limit, else
+    None.  Early-exits once the accumulated stripped length provably
+    reaches the limit (appending chunks never shrinks a stripped join),
+    so big content subtrees never materialize their full text here."""
+    parts: list[str] = []
+    raw = 0
+    next_check = limit + 1
+    for t in el.itertext():
+        if not t:
+            continue
+        parts.append(t)
+        raw += len(t) + 1
+        if raw > next_check:
+            if len(" ".join(parts).strip()) >= limit:
+                return None
+            next_check = raw + 64
+    text = " ".join(parts).strip()
+    return text if len(text) < limit else None
+
+
 def extract_filtered_text(
     root: Element,
     opts: Options,
@@ -124,6 +160,7 @@ def extract_filtered_text(
     """Return (normalized text, [(start, end, kind)] source spans)."""
     out: list[str] = []
     spans: list[tuple[int, int, str]] = []
+    link_ids = _link_ancestor_ids(root)
 
     def emit_text(el: Element, text: str) -> None:
         out.append(text)
@@ -139,7 +176,7 @@ def extract_filtered_text(
             return
 
         if tag == "table":
-            if link_density_test_tables(el):
+            if link_density_test_tables(el, has_links=id(el) in link_ids):
                 return
             if not opts.include_tables:
                 return
@@ -154,7 +191,9 @@ def extract_filtered_text(
                 return
             # layout table: fall through, traverse children normally
 
-        if tag in ("div", "ul", "ol") and link_density_test(el, opts.favor_precision):
+        if tag in ("div", "ul", "ol") and link_density_test(
+            el, opts.favor_precision, has_links=id(el) in link_ids
+        ):
             return
 
         is_heading = tag in HEADING_TAGS
@@ -171,12 +210,12 @@ def extract_filtered_text(
                 return
 
         if tag == "p":
-            p_text = el.iter_text_joined(" ").strip()
-            if len(p_text) < 50 and is_share_button_text(p_text):
+            p_text = _text_if_shorter(el, 50)
+            if p_text is not None and is_share_button_text(p_text):
                 return
         elif tag == "div":
-            div_text = el.iter_text_joined(" ").strip()
-            if len(div_text) < 80 and is_share_button_text(div_text):
+            div_text = _text_if_shorter(el, 80)
+            if div_text is not None and is_share_button_text(div_text):
                 return
 
         if tag in BLOCK_SEPARATOR_TAGS or is_heading:
@@ -234,15 +273,21 @@ def extract_filtered_html(
     from ..dom import escape_attr, escape_text
 
     out: list[str] = []
+    link_ids = _link_ancestor_ids(root)
 
     def visit(el: Element, inside_am: bool) -> None:
         if _element_excluded(el, inside_am, filter_named_boilerplate,
                              comments_are_content, opts):
             return
         tag = el.tag
-        if tag == "table" and (link_density_test_tables(el) or not opts.include_tables):
+        if tag == "table" and (
+            link_density_test_tables(el, has_links=id(el) in link_ids)
+            or not opts.include_tables
+        ):
             return
-        if tag in ("div", "ul", "ol") and link_density_test(el, opts.favor_precision):
+        if tag in ("div", "ul", "ol") and link_density_test(
+            el, opts.favor_precision, has_links=id(el) in link_ids
+        ):
             return
         keep = tag in _HTML_WHITELIST
         if keep:
