@@ -271,6 +271,34 @@ def _md5_id(url_col):
     return F.conv(F.substring(F.md5(url_col), 1, 15), 16, 10).cast("long")
 
 
+# fallback template parts (query: extract_fallback_spans)
+_FB_P1 = '<!doctype html><html lang="'
+_FB_P2 = '"><head><title>Doc '
+_FB_P3 = ' - Fallback Site</title></head><body><div class="content">'
+_FB_SHORT = ("intercontinental " * 15).strip()  # 254 chars, only 15 words
+
+
+def _wrap_fallback(documents: DataFrame) -> DataFrame:
+    """Template F: the content rule selects div.content whose paragraph has
+    plenty of characters but too few words (min_output_size), forcing the
+    baseline paragraph-scrape rescue (fallback.rs:259-368); the rescue must
+    carry SOURCE-anchored spans for both contributing <p> nodes."""
+    i = _id_str()
+    html = F.concat(
+        F.lit(_FB_P1), F.col("lang"),
+        F.lit(_FB_P2), i,
+        F.lit(_FB_P3 + "<p>" + _FB_SHORT + "</p></div><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://www.fallback.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
 _TYPED_FAMILIES = ("forum", "product", "documentation")
 
 
@@ -655,6 +683,28 @@ def q_page_type_predict(spark, sf_dir):
     )
 
 
+def q_extract_fallback_spans(spark, sf_dir):
+    """Source-anchored spans on the baseline rescue stage: both rescued
+    <p> nodes must carry source-html offsets computable from the template
+    constants (kernel/fallback.py::baseline span emission)."""
+    docs = _docs(spark, sf_dir).filter(F.length("text") >= 300)
+    out = _run_kernel(spark, _wrap_fallback(docs))
+    s1 = F.element_at("spans", 1)
+    s2 = F.element_at("spans", 2)
+    return out.select(
+        "url",
+        "stage",
+        F.col("content_text").alias("text"),
+        F.size("spans").cast("long").alias("n_spans"),
+        s1.getField("kind").alias("s1_kind"),
+        s1.getField("start").alias("s1_start"),
+        (s1.getField("end") - s1.getField("start")).alias("s1_len"),
+        s2.getField("kind").alias("s2_kind"),
+        s2.getField("start").alias("s2_start"),
+        (s2.getField("end") - s2.getField("start")).alias("s2_len"),
+    )
+
+
 def q_curation_audit(spark, sf_dir):
     """The composed curation pipeline a pretraining user actually runs
     (plans/curate.py): extraction -> quality gate -> language gate ->
@@ -779,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_images": q_extract_images,
         "extract_comments": q_extract_comments,
         "page_type_predict": q_page_type_predict,
+        "extract_fallback_spans": q_extract_fallback_spans,
         "curation_audit": q_curation_audit,
         "resume_manifest": q_resume_manifest,
         "topk_per_source": q_topk_per_source,
@@ -1148,6 +1199,22 @@ def oracle_sql() -> dict[str, str]:
             "'<div><p>First take: ' || text || '</p></div>"
             "<div><p>Second take: ' || text || '</p></div>' AS comments_html "
             "FROM documents"
+        ),
+        "extract_fallback_spans": (
+            "SELECT 'https://www.fallback.example/blog/doc-' || doc_id "
+            "AS url, 'baseline_rescue' AS stage, "
+            f"'{_FB_SHORT}' || chr(10) || chr(10) || text AS text, "
+            "CAST(2 AS BIGINT) AS n_spans, "
+            "'p' AS s1_kind, "
+            f"CAST({len(_FB_P1) + len(_FB_P2) + len(_FB_P3)} + length(lang) "
+            "+ length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS s1_start, "
+            f"CAST({len(_FB_SHORT) + 3} AS BIGINT) AS s1_len, "
+            "'p' AS s2_kind, "
+            f"CAST({len(_FB_P1) + len(_FB_P2) + len(_FB_P3) + len(_FB_SHORT) + 13} "
+            "+ length(lang) + length(CAST(doc_id AS VARCHAR)) AS BIGINT) "
+            "AS s2_start, "
+            "CAST(length(text) + 3 AS BIGINT) AS s2_len "
+            "FROM documents WHERE length(text) >= 300"
         ),
         "curation_audit": _curation_audit_sql(),
         "resume_manifest": (

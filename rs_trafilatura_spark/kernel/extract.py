@@ -243,13 +243,16 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     if needs_fallback:
         from .fallback import candidate_is_usable
 
-        cand_text, cand_stage = baseline(backup_doc())
+        cand_text, cand_stage, cand_spans = baseline(backup_doc())
         if candidate_is_usable(
             len(cand_text), len(text), content_node,
             opts.min_extracted_size, opts.favor_recall,
         ):
             text = cand_text
-            spans = []
+            # source-anchored spans where the fallback read real DOM nodes
+            # (article / paragraph scrape / body); jsonld stays empty and
+            # the out:<stage> backfill below covers it
+            spans = cand_spans
             stage = cand_stage
             warnings.append("Used fallback extraction")
 
@@ -259,9 +262,11 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         from .postprocess import try_multi_candidate_merge
 
         merged = try_multi_candidate_merge(doc, opts)
-        if merged and len(merged) > 2 * len(text) and len(merged) <= 15_000:
+        if merged and len(merged[0]) > 2 * len(text) and len(merged[0]) <= 15_000:
             warnings.append("Used multi-candidate merge")
-            text, spans, stage = merged, [], "merge"
+            # source spans: one per merged candidate node (extract.rs:644-768
+            # reads real DOM nodes, so source offsets are derivable)
+            text, spans, stage = merged[0], merged[1], "merge"
 
     # 10b. repeated-item collection for listing/category (pre-cleaning backup:
     # cleaning strips <article> cards)
@@ -269,9 +274,9 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         from .postprocess import try_collect_repeated_items
 
         collected = try_collect_repeated_items(backup_doc())
-        if collected and len(collected) > 2 * len(text):
+        if collected and len(collected[0]) > 2 * len(text):
             warnings.append("Used repeated-item collection")
-            text, spans, stage = collected, [], "repeated_items"
+            text, spans, stage = collected[0], collected[1], "repeated_items"
 
     # 10c. collection-description prepend for category pages
     if page_type == CATEGORY:

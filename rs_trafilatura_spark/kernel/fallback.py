@@ -108,13 +108,26 @@ def candidate_is_usable(cand_len: int, text_len: int,
     return text_len < min_size and favor_recall
 
 
-def baseline(doc: Document) -> tuple[str, str]:
-    """Return (text, stage). Mirrors fallback.rs:259-368 over the UNCLEANED
-    backup document."""
+def _src_span(el: Element) -> list[tuple[int, int, str]]:
+    """Source-anchored span for a DOM node the fallback read (north rule:
+    spans on every stage).  Same (start, end, tag) semantics as the
+    traversal emitter's spans."""
+    if el._srcpos is None:
+        return []
+    start, end = el._srcpos
+    return [(start, max(end, start), el.tag)]
+
+
+def baseline(doc: Document) -> tuple[str, str, list[tuple[int, int, str]]]:
+    """Return (text, stage, spans). Mirrors fallback.rs:259-368 over the
+    UNCLEANED backup document.  Stages that read real DOM nodes (article,
+    paragraph scrape, body) carry SOURCE-html spans; JSON-LD genuinely
+    cannot point into the source, so its spans stay empty and the caller
+    backfills output-relative ones."""
     # 1. JSON-LD article body
     body_text = find_jsonld_article_body(doc)
     if body_text and len(body_text) > 100:
-        return clean_text(body_text), "jsonld_body"
+        return clean_text(body_text), "jsonld_body", []
 
     # 2. basic tree cleaning (fallback.rs:278 basic_cleaning): drop script/
     # style/nav/etc. so the later body/whole-doc rescues don't dump chrome
@@ -130,11 +143,13 @@ def baseline(doc: Document) -> tuple[str, str]:
     for article in articles:
         text = article.text_content().strip()
         if len(text) > 100:
-            return normalize_text_output(_paragraphish_text(article)), "baseline_article"
+            return (normalize_text_output(_paragraphish_text(article)),
+                    "baseline_article", _src_span(article))
 
-    # 4. paragraph scrape
+    # 4. paragraph scrape — one source span per contributing element
     seen: set[str] = set()
     parts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
     root = doc.body
     for el in root.iterdesc():
         if el.tag not in ("blockquote", "pre", "q", "code", "p"):
@@ -154,19 +169,21 @@ def baseline(doc: Document) -> tuple[str, str]:
         if entry not in seen:
             seen.add(entry)
             parts.append(entry)
+            spans.extend(_src_span(el))
     if parts:
         text = "\n\n".join(parts)
-        return text, "baseline_rescue"
+        return text, "baseline_rescue", spans
 
     # 5. body text
     body = doc.root.find("body")
     if body is not None:
         text = normalize_text_output(body.iter_text_joined("\n"))
         if len(text) > 100:
-            return text, "baseline_body"
+            return text, "baseline_body", _src_span(body)
 
     # 6. whole document
-    return normalize_text_output(doc.root.iter_text_joined("\n")), "baseline_doc"
+    return (normalize_text_output(doc.root.iter_text_joined("\n")),
+            "baseline_doc", [])
 
 
 def _paragraphish_text(el: Element) -> str:

@@ -21,8 +21,16 @@ _CONTAINER_SELECTORS = (
 )
 
 
+def _node_span(el: Element) -> list[tuple[int, int, str]]:
+    if el._srcpos is None:
+        return []
+    start, end = el._srcpos
+    return [(start, max(end, start), el.tag)]
+
+
 def _collect_sibling_group(container: Element, child_tag: str,
-                           min_count: int, min_words: int) -> Optional[list[str]]:
+                           min_count: int, min_words: int
+                           ) -> Optional[list[tuple[str, Element]]]:
     children = select(container, child_tag)
     if len(children) < min_count:
         return None
@@ -33,27 +41,30 @@ def _collect_sibling_group(container: Element, child_tag: str,
             continue
         text = el.text_content().strip()
         if len(text.split()) >= min_words:
-            texts.append(text)
+            texts.append((text, el))
     return texts if len(texts) >= min_count else None
 
 
-def try_collect_repeated_items(doc: Document, min_words: int = 15) -> Optional[str]:
+def try_collect_repeated_items(
+    doc: Document, min_words: int = 15
+) -> Optional[tuple[str, list[tuple[int, int, str]]]]:
     """Find containers with 3+ same-tag children carrying real text
-    (news card grids, product lists); biggest group by total length wins."""
-    best: Optional[list[str]] = None
+    (news card grids, product lists); biggest group by total length wins.
+    Returns (text, source spans — one per collected item node)."""
+    best: Optional[list[tuple[str, Element]]] = None
     best_total = 0
 
     for sel_str in _CONTAINER_SELECTORS:
         for container in select(doc.root, sel_str):
             group = _collect_sibling_group(container, "article", 3, min_words)
             if group:
-                total = sum(len(t) for t in group)
+                total = sum(len(t) for t, _ in group)
                 if total > best_total:
                     best_total, best = total, group
             for lst in select(container, "ul, ol"):
                 group = _collect_sibling_group(lst, "li", 3, min_words)
                 if group:
-                    total = sum(len(t) for t in group)
+                    total = sum(len(t) for t, _ in group)
                     if total > best_total:
                         best_total, best = total, group
 
@@ -66,23 +77,30 @@ def try_collect_repeated_items(doc: Document, min_words: int = 15) -> Optional[s
                 continue
             text = el.text_content().strip()
             if len(text.split()) >= min_words:
-                texts.append(text)
+                texts.append((text, el))
         if len(texts) >= 3:
-            total = sum(len(t) for t in texts)
+            total = sum(len(t) for t, _ in texts)
             if total > best_total:
                 best_total, best = total, texts
 
-    return "\n\n".join(best) if best else None
+    if not best:
+        return None
+    spans: list[tuple[int, int, str]] = []
+    for _, el in best:
+        spans.extend(_node_span(el))
+    return "\n\n".join(t for t, _ in best), spans
 
 
-def try_multi_candidate_merge(doc: Document, opts: Options) -> Optional[str]:
+def try_multi_candidate_merge(
+    doc: Document, opts: Options
+) -> Optional[tuple[str, list[tuple[int, int, str]]]]:
     """Merge top-scoring non-overlapping candidates for service/marketing
     pages: sorted by score desc, keep top + others scoring >= top/5 whose
     text isn't already contained, cap 15k chars (extract.rs:644-768)."""
     body = doc.body
     body_len = max(len(clean_text(body.text_content())), 1)
 
-    candidates: list[tuple[int, str]] = []
+    candidates: list[tuple[int, str, Element]] = []
     for el in body.iterdesc():
         if el.tag not in ("div", "section", "article", "main"):
             continue
@@ -100,7 +118,7 @@ def try_multi_candidate_merge(doc: Document, opts: Options) -> Optional[str]:
             depth += 1
             cur = cur.parent
         score = score_content_node(el, cleaned, text_len, depth)
-        candidates.append((score, cleaned))
+        candidates.append((score, cleaned, el))
 
     if not candidates:
         return None
@@ -110,8 +128,9 @@ def try_multi_candidate_merge(doc: Document, opts: Options) -> Optional[str]:
         return None
 
     merged: list[str] = []
+    spans: list[tuple[int, int, str]] = []
     total = 0
-    for score, text in candidates:
+    for score, text, el in candidates:
         if merged and score < top_score / 5:
             break
         if any(text in m or m in text for m in merged):
@@ -119,10 +138,11 @@ def try_multi_candidate_merge(doc: Document, opts: Options) -> Optional[str]:
         if total + len(text) > 15_000:
             break
         merged.append(text)
+        spans.extend(_node_span(el))
         total += len(text)
     if not merged:
         return None
-    return "\n\n".join(merged)
+    return "\n\n".join(merged), spans
 
 
 _COLLECTION_DESC_SELECTOR = (
