@@ -779,6 +779,85 @@ def q_resume_manifest(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+_STREAM_SEQ = [0]
+
+
+def q_streaming_roundtrip(spark, sf_dir):
+    """The Structured Streaming path under the driver's eye: readStream
+    over the roundtrip pages -> watermark + dropDuplicates -> the SAME
+    mapInPandas kernel -> memory sink, driven to completion
+    (streaming/pipeline.py).  Results must match the batch roundtrip."""
+    import shutil
+    import tempfile
+
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.streaming.pipeline import run_stream_to_memory
+
+    src = tempfile.mkdtemp(prefix="rs_traf_stream_rt_")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_rt_{os.getpid()}_{_STREAM_SEQ[0]}"
+    try:
+        pages = _wrap_roundtrip(_docs(spark, sf_dir)).withColumn(
+            "text", F.lit(None).cast("string")
+        )
+        pages.write.mode("overwrite").parquet(src)
+        out = run_stream_to_memory(spark, src, query_name=name)
+        # materialize from the memory sink before the source dir is removed
+        rows = out.select(
+            "url",
+            F.col("content_text").alias("text"),
+            F.col("language").alias("lang"),
+        )
+        rows.count()
+        return rows
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def q_streaming_window_metrics(spark, sf_dir):
+    """Watermarked tumbling-window stage metrics over the extraction
+    stream (the streaming form of stage_metrics), in complete mode so all
+    3 planted 10-minute windows emit deterministically."""
+    import shutil
+    import tempfile
+
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.streaming.pipeline import (
+        extraction_stream,
+        read_pages_stream,
+        windowed_stage_metrics_stream,
+    )
+
+    src = tempfile.mkdtemp(prefix="rs_traf_stream_win_")
+    _STREAM_SEQ[0] += 1
+    name = f"stream_win_{os.getpid()}_{_STREAM_SEQ[0]}"
+    try:
+        # _wrap_roundtrip loses doc_id; rebuild warc_ts from the docs table
+        docs = _docs(spark, sf_dir)
+        pages = _wrap_roundtrip(docs).drop("warc_ts").join(
+            docs.select(
+                _synth_url().alias("url"),
+                F.timestamp_seconds(
+                    F.lit(_EPOCH_2026) + (F.col("doc_id") % 3) * 600
+                ).alias("warc_ts"),
+            ),
+            "url",
+        ).withColumn("text", F.lit(None).cast("string"))
+        pages.write.mode("overwrite").parquet(src)
+        extracted = extraction_stream(read_pages_stream(spark, src))
+        metrics = windowed_stage_metrics_stream(extracted, set_watermark=False)
+        q = (metrics.writeStream.outputMode("complete")
+             .format("memory").queryName(name)
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+        rows = spark.sql(f"SELECT * FROM {name}")
+        rows.count()
+        return rows
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def q_topk_per_source(spark, sf_dir):
     from rs_trafilatura_spark.operators.windows import topk_docs_per_source
 
@@ -832,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fallback_spans": q_extract_fallback_spans,
         "curation_audit": q_curation_audit,
         "resume_manifest": q_resume_manifest,
+        "streaming_roundtrip": q_streaming_roundtrip,
+        "streaming_window_metrics": q_streaming_window_metrics,
         "topk_per_source": q_topk_per_source,
         "sessionize_events": q_sessionize_events,
     }
@@ -1199,6 +1280,18 @@ def oracle_sql() -> dict[str, str]:
             "'<div><p>First take: ' || text || '</p></div>"
             "<div><p>Second take: ' || text || '</p></div>' AS comments_html "
             "FROM documents"
+        ),
+        "streaming_roundtrip": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "text, lang FROM documents"
+        ),
+        "streaming_window_metrics": (
+            "SELECT to_timestamp(1767225600 + (doc_id % 3) * 600)::TIMESTAMP "
+            "AS window_start, "
+            "to_timestamp(1767225600 + (doc_id % 3) * 600 + 600)::TIMESTAMP "
+            "AS window_end, "
+            "'main' AS stage, count(*) AS n_pages "
+            "FROM documents GROUP BY 1, 2"
         ),
         "extract_fallback_spans": (
             "SELECT 'https://www.fallback.example/blog/doc-' || doc_id "
