@@ -20,3 +20,31 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Reference-shaped public API (lib.rs:82-215): extract /
+# extract_with_options / extract_bytes / extract_bytes_with_options /
+# Options at the crate root.  Lazy (PEP 562) so importing the package on
+# every executor worker doesn't pay the kernel import until first use.
+_API = {
+    "extract", "extract_with_options",
+    "extract_bytes", "extract_bytes_with_options", "Options",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        from .options import Options as _Options
+
+        if name == "Options":
+            return _Options
+        from .kernel import extract as _extract, extract_bytes as _extract_bytes
+
+        return {
+            "extract": _extract,
+            # the reference splits the options variant into a second fn;
+            # ours take an optional ``opts`` param, so these alias
+            "extract_with_options": _extract,
+            "extract_bytes": _extract_bytes,
+            "extract_bytes_with_options": _extract_bytes,
+        }[name]
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

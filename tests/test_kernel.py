@@ -358,3 +358,17 @@ def test_large_cc_page_roundtrip():
     r = extract_bytes(row["html"])
     assert r["stage"] == "main"
     assert r["content_text"] == row["text"]
+
+
+def test_top_level_api_reexports():
+    """lib.rs:82-215 public API shape at the package root (lazy)."""
+    import rs_trafilatura_spark as rt
+
+    r = rt.extract_with_options(
+        "<html><body><article><p>Top level API parity paragraph with "
+        "plenty of words for extraction.</p></article></body></html>",
+        rt.Options(output_markdown=True),
+    )
+    assert r["content_markdown"]
+    assert rt.extract_bytes(b"<p>x</p>")["stage"]
+    assert rt.extract_bytes_with_options(b"<p>x</p>", rt.Options())["stage"]
