@@ -271,6 +271,42 @@ def _md5_id(url_col):
     return F.conv(F.substring(F.md5(url_col), 1, 15), 16, 10).cast("long")
 
 
+def _wrap_metadata_full(documents: DataFrame) -> DataFrame:
+    """Template B2: the remaining metadata surfaces — og:description,
+    article:section, keywords, canonical link, og:image and a rel=license
+    CC anchor (kernel/metadata.py meta router + _license_from_dom,
+    reference metadata/dom_extraction.rs:519-563)."""
+    i = _id_str()
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(' - Meta Site</title><meta name="author" content="Author '),
+        F.col("source"),
+        F.lit('"><meta property="og:site_name" content="Meta Site">'
+              '<meta property="og:description" content="Summary of doc '), i,
+        F.lit(' for the meta surface.">'
+              '<meta property="article:section" content="Cat '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('"><meta name="keywords" content="'),
+        F.col("source"),
+        F.lit(', spark, web">'
+              '<meta property="og:image" content="https://cdn.example.com/i/'),
+        i,
+        F.lit('.jpg"><link rel="canonical" href="https://canonical.example/doc-'),
+        i,
+        F.lit('"></head><body><article><p>'),
+        F.col("text"),
+        F.lit('</p><a rel="license" '
+              'href="https://creativecommons.org/licenses/by-sa/4.0/">License'
+              "</a></article></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://www.metafull.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
 # fallback template parts (query: extract_fallback_spans)
 _FB_P1 = '<!doctype html><html lang="'
 _FB_P2 = '"><head><title>Doc '
@@ -390,6 +426,22 @@ def q_extract_metadata(spark, sf_dir):
         F.col("author"),
         F.col("date"),
         F.col("sitename"),
+    )
+
+
+def q_extract_metadata_full(spark, sf_dir):
+    """The metadata surfaces not covered by extract_metadata: description,
+    categories (article:section), tags (keywords), canonical-url override
+    + hostname backfill, og:image, and the rel=license CC anchor."""
+    out = _run_kernel(spark, _wrap_metadata_full(_docs(spark, sf_dir)))
+    return out.select(
+        F.col("canonical_url"),
+        "hostname",
+        "description",
+        F.element_at("categories", 1).alias("category1"),
+        F.array_join("tags", "|").alias("tags_joined"),
+        "license",
+        "image",
     )
 
 
@@ -885,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_metadata": q_extract_metadata,
+        "extract_metadata_full": q_extract_metadata_full,
         "extract_stage_metrics": q_extract_stage_metrics,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -1168,6 +1221,18 @@ def oracle_sql() -> dict[str, str]:
             "'Author ' || source AS author, "
             "TIMESTAMP '2026-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS date, "
             "'Meta Site' AS sitename FROM documents"
+        ),
+        "extract_metadata_full": (
+            "SELECT 'https://canonical.example/doc-' || doc_id "
+            "AS canonical_url, "
+            "'canonical.example' AS hostname, "
+            "'Summary of doc ' || doc_id || ' for the meta surface.' "
+            "AS description, "
+            "'Cat ' || (doc_id % 5) AS category1, "
+            "source || '|spark|web' AS tags_joined, "
+            "'CC BY-SA' AS license, "
+            "'https://cdn.example.com/i/' || doc_id || '.jpg' AS image "
+            "FROM documents"
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
