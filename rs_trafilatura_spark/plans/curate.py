@@ -92,6 +92,16 @@ def mark_near_duplicates(curated: DataFrame,
         return (F.xxhash64(url_col) if id_col is None
                 else id_col(url_col))
 
+    # The curated frame feeds FOUR plan branches (both sides of the LSH
+    # band self-join, the verify join-back, and the final loser join);
+    # without materialization Spark recomputes the upstream extraction
+    # kernel once per branch — observed as 5x kernel work in the executed
+    # plan.  Persist once; at warehouse scale the same role is played by
+    # writing the extraction output table before the dedup pass.
+    from pyspark import StorageLevel
+
+    curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+
     kept = curated.filter(F.col("drop_reason").isNull())
     docs = kept.select(
         _id(F.col("url")).alias("doc_id"), F.col("content_text").alias("text")
