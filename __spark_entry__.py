@@ -470,6 +470,16 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-bounded overlapping chunking (training-data windowing) —
+    pure-Catalyst one-to-many; the oracle reproduces the chunk grid with
+    generate_series + list slicing."""
+    from rs_trafilatura_spark.operators.textstats import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64,
+                           overlap_tokens=8)
+
+
 def q_language_id(spark, sf_dir):
     from rs_trafilatura_spark.operators.textstats import language_id
 
@@ -942,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "chunk_documents": q_chunk_documents,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_fingerprint,
@@ -1258,6 +1269,16 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+')) "
             "/ len(string_split(text, ' '))) AS BIGINT) AS bpe_per_ws_x1000 "
             "FROM documents"
+        ),
+        "chunk_documents": (
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+            "FROM documents) "
+            "SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx, "
+            "CAST(LEAST(64, len(words) - s.i * 56) AS BIGINT) AS n_tokens, "
+            "array_to_string(words[s.i * 56 + 1 : s.i * 56 + 64], ' ') "
+            "AS chunk_text "
+            "FROM w, LATERAL unnest(range((len(words) - 1) // 56 + 1)) "
+            "AS s(i)"
         ),
         "language_id": (
             f"SELECT doc_id, {en} AS en_hits, {de} AS de_hits, "

@@ -114,3 +114,36 @@ def bpe_token_stats(documents: DataFrame) -> DataFrame:
         F.floor(F.lit(1000) * bpe / F.size(words)).cast("long")
         .alias("bpe_per_ws_x1000"),
     )
+
+
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 200,
+                    overlap_tokens: int = 20) -> DataFrame:
+    """Token-bounded overlapping chunks — the training-data windowing op
+    (one row per chunk).  Pure Catalyst one-to-many: split -> sequence of
+    chunk starts -> explode -> slice -> join; no UDF, whole-stage codegen,
+    and the explosion factor is ~n_tokens/stride so output size tracks
+    input tokens, not rows.  Chunk i covers whitespace tokens
+    [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap_tokens; the last chunk may be short; documents
+    shorter than one chunk yield exactly one chunk."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int")
+    )
+    chunked = documents.select(
+        "doc_id", words.alias("_w"), n.alias("_n"),
+        F.explode(starts).alias("chunk_idx"),
+    ).filter(F.col("chunk_idx") * stride < F.col("_n"))
+    piece = F.slice(
+        F.col("_w"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -250,3 +250,25 @@ def test_probe_masks_generic_k():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         _probe_masks(4, 5)
+
+
+def test_chunk_documents(spark):
+    from rs_trafilatura_spark.operators.textstats import chunk_documents
+
+    rows = [(1, " ".join(f"w{i}" for i in range(450))),  # 450 tokens -> 3 chunks
+            (2, "short text only"),                       # 1 chunk
+            (3, " ".join(f"t{i}" for i in range(200)))]   # exactly one chunk
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, chunk_tokens=200, overlap_tokens=20)
+    got = {(r["doc_id"], r["chunk_idx"]): r for r in out.collect()}
+    assert len([k for k in got if k[0] == 1]) == 3
+    assert got[(1, 0)]["n_tokens"] == 200
+    assert got[(1, 0)]["chunk_text"].startswith("w0 ")
+    # overlap: chunk 1 starts at token 180
+    assert got[(1, 1)]["chunk_text"].startswith("w180 ")
+    assert got[(1, 2)]["n_tokens"] == 450 - 2 * 180
+    assert got[(2, 0)]["n_tokens"] == 3
+    assert len([k for k in got if k[0] == 3]) == 2  # 200 tokens: chunk at 180 too
+    # every token of doc 1 appears in some chunk
+    all_text = " ".join(got[(1, i)]["chunk_text"] for i in range(3))
+    assert "w449" in all_text
