@@ -121,7 +121,8 @@ def main() -> None:
     # operator benches at the sf dir, with the normal session split config
     q = entry_mod.queries()
     for name in ("extract_roundtrip", "dedup_exact", "minhash_lsh_pairs",
-                 "ngram_jaccard", "embedding_topk", "language_id"):
+                 "ngram_jaccard", "embedding_topk", "language_id",
+                 "chunk_documents", "curation_audit"):
         # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
         # define an operator's number (observed 12x outliers on one pass)
         best = float("inf")
