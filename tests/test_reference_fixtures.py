@@ -242,3 +242,66 @@ def test_extract_whitespace_only():
     """edge_cases.rs:186-200 (test_extract_only_whitespace_content)."""
     r = extract("<html><body><article>   \n\t\n   </article></body></html>")
     assert not r["content_text"].strip() or r["warnings"]
+
+
+def test_extract_minimal_html():
+    """edge_cases.rs:10-22."""
+    r = extract("<html><body><p>Minimal content.</p></body></html>")
+    assert "Minimal" in r["content_text"]
+
+
+def test_extract_empty_body():
+    """edge_cases.rs:25-38."""
+    r = extract("<html><body></body></html>")
+    assert r["content_text"] == "" or r["warnings"]
+
+
+def test_extract_no_body():
+    """edge_cases.rs:41-47 (must not raise)."""
+    r = extract("<html><head><title>No Body</title></head></html>")
+    assert isinstance(r["content_text"], str)
+
+
+def test_extract_deeply_nested_html():
+    """edge_cases.rs:65-86 (50 nested divs)."""
+    html = "<html><body>"
+    for i in range(50):
+        html += f"<div class='level-{i}'>"
+    html += "<p>Deep content here</p>" + "</div>" * 50 + "</body></html>"
+    r = extract(html)
+    assert "Deep content" in r["content_text"]
+
+
+def test_extract_very_large_document():
+    """edge_cases.rs:89-118 (~1 MB, max_extracted_len respected)."""
+    paragraphs = "\n".join(
+        f"<p>Paragraph {i} with some content words.</p>" for i in range(5000)
+    )
+    html = f"<html><body><article>{paragraphs}</article></body></html>"
+    r = extract(html, Options(max_extracted_len=50_000))
+    assert r["content_text"]
+    assert len(r["content_text"]) <= 50_000
+
+
+def test_extract_unicode_content():
+    """edge_cases.rs:161-184."""
+    html = ("<html><body><article>"
+            "<p>Unicode test: emoji and special chars</p>"
+            "<p>Chinese: simplify content here</p>"
+            "<p>Arabic: text content here</p>"
+            "<p>Russian: text content here</p>"
+            "</article></body></html>")
+    r = extract(html)
+    assert "Unicode" in r["content_text"]
+
+
+def test_extract_performance_baseline():
+    """edge_cases.rs:298-325: 50 extractions of article_full.html well
+    under the reference's 10 s bound (Python kernel, generous margin)."""
+    import time
+
+    html = fixture("article_full.html")
+    t0 = time.time()
+    for _ in range(50):
+        extract(html)
+    assert time.time() - t0 < 30
