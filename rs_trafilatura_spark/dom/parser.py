@@ -39,10 +39,12 @@ class _TreeBuilder(HTMLParser):
 
     # -- source offset helpers ------------------------------------------------
     def feed_with_offsets(self, data: str) -> None:
+        # C-speed newline scan (str.find), not a per-character Python loop
         starts = [0]
-        for i, ch in enumerate(data):
-            if ch == "\n":
-                starts.append(i + 1)
+        idx = data.find("\n")
+        while idx != -1:
+            starts.append(idx + 1)
+            idx = data.find("\n", idx + 1)
         self._line_starts = starts
         self.feed(data)
         self.close()

@@ -64,9 +64,10 @@ def extract_comments(doc: Document, opts: Options) -> tuple[Optional[str], Optio
     )
     # min_output_comm_size is a WORD count (extract.rs:1123-1133 counts words
     # of >= min_word_length chars), not characters
-    from .extract import _count_words
+    from .extract import _meets_min_words
 
-    if _count_words(text, opts.min_word_length) < opts.min_output_comm_size:
+    if not _meets_min_words(text, opts.min_word_length,
+                            opts.min_output_comm_size):
         return None, None
     html = extract_filtered_html(section, opts, comments_are_content=True) or None
     return text, html

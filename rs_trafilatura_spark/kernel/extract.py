@@ -41,26 +41,34 @@ def _ensure_recursion_limit() -> None:
         sys.setrecursionlimit(_MIN_RECURSION)
 
 
-_SHORT_TOKEN_RES: dict = {}
+import re as _re
+
+_TOKEN_RE = _re.compile(r"\S+")
 
 
 def _count_words(text: str, min_length: int = 1) -> int:
-    """Tokens of >= min_length chars.  Counted as total tokens minus the
-    (rare in prose) short tokens, so the hot path is one split plus a
-    small findall instead of a 10^5-iteration generator per call."""
-    words = text.split()
+    """Tokens of >= min_length chars."""
     if min_length <= 1:
-        return len(words)
-    pat = _SHORT_TOKEN_RES.get(min_length)
-    if pat is None:
-        import re as _re
+        return len(text.split())
+    return sum(
+        1 for m in _TOKEN_RE.finditer(text)
+        if m.end() - m.start() >= min_length
+    )
 
-        # standalone runs of 1..min_length-1 non-space chars
-        pat = _re.compile(
-            r"(?<!\S)\S{1,%d}(?!\S)" % (min_length - 1)
-        )
-        _SHORT_TOKEN_RES[min_length] = pat
-    return len(words) - len(pat.findall(text))
+
+def _meets_min_words(text: str, min_length: int, threshold: int) -> bool:
+    """``_count_words(text, min_length) >= threshold`` with an early exit:
+    every caller only ever THRESHOLDS the count, so on a long document
+    this stops after ~threshold tokens instead of scanning 10^5."""
+    if threshold <= 0:
+        return True
+    n = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.end() - m.start() >= min_length:
+            n += 1
+            if n >= threshold:
+                return True
+    return False
 
 
 def _empty_result(warnings: list[str]) -> dict:
@@ -237,7 +245,8 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         opts.use_fallback_extraction
         and (
             len(text) < opts.min_extracted_len
-            or _count_words(text, opts.min_word_length) < opts.min_output_size
+            or not _meets_min_words(text, opts.min_word_length,
+                                    opts.min_output_size)
         )
     )
     if needs_fallback:
@@ -364,7 +373,7 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
     # min_output_size is a WORD-count threshold, min_extracted_len the char
     # threshold
     if text and (
-        _count_words(text, opts.min_word_length) < opts.min_output_size
+        not _meets_min_words(text, opts.min_word_length, opts.min_output_size)
         or len(text) < opts.min_extracted_len
     ):
         warnings.append("Insufficient content after extraction")
