@@ -158,6 +158,18 @@ def _last_tag_dispatch(selector: str):
     return by_tag
 
 
+@lru_cache(maxsize=4096)
+def _single_step_compounds(selector: str):
+    """[(tag, preds)] when every chain is one compound; else None."""
+    out = []
+    for ch in _compile(selector):
+        if len(ch.steps) != 1:
+            return None
+        comp = ch.steps[0][1]
+        out.append((comp.tag, tuple(comp.preds)))
+    return tuple(out) if out else None
+
+
 def iter_select(root: Element, selector: str) -> Iterator[Element]:
     """Yield descendants of ``root`` (excluding root itself) matching the
     selector, in document order."""
@@ -199,6 +211,23 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
                     if ch.matches(el):
                         yield el
                         break
+        return
+    # tagless unions of simple compounds (the discard/content rule tables'
+    # dominant shape, e.g. "[class*='a'], [id*='b']"): inline the
+    # tag/pred checks, skipping two method hops per chain per element
+    comps = _single_step_compounds(selector)
+    if comps is not None:
+        for el in root.iterdesc():
+            tag = el.tag
+            for ctag, preds in comps:
+                if ctag is not None and tag != ctag:
+                    continue
+                for p in preds:
+                    if not p(el):
+                        break
+                else:
+                    yield el
+                    break
         return
     for el in root.iterdesc():
         for ch in chains:
