@@ -481,10 +481,22 @@ def find_main_content_node(body: Element, opts: Options,
                            doc_lang: Optional[str] = None) -> Optional[Element]:
     """Full selection cascade (extract.rs:1831-1897)."""
     target = opts.target_language
-    for sel_str in profile_selectors:
-        for el in select(body, sel_str):
-            if len(el.text_content().strip()) > 100:
-                return el
+    if profile_selectors:
+        # one walk bucketing matches per selector, then the original
+        # priority order (selector index first, document order within) —
+        # identical outcome to probing each selector separately
+        from ..dom.select import matches as _sel_matches
+
+        buckets: list[list] = [[] for _ in profile_selectors]
+        for el in body.iterdesc():
+            for i, sel_str in enumerate(profile_selectors):
+                if _sel_matches(el, sel_str):
+                    buckets[i].append(el)
+                    break
+        for bucket in buckets:
+            for el in bucket:
+                if len(el.text_content().strip()) > 100:
+                    return el
     content = find_content(body)
     if content is not None:
         if target is None or matches_target_language(content, doc_lang, target):
