@@ -1194,7 +1194,7 @@ def oracle_sql() -> dict[str, str]:
     # (n_planes, probe_bits) settings recall the exact result in full, and
     # both LSH plane hashing and the corpus are deterministic.
     topk_sql = (
-        "SELECT vec_id, CAST(floor(1000 * "
+        "SELECT vec_id, CAST(round(1000 * "
         "list_dot_product(embedding::DOUBLE[], q.qv) / "
         "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(q.qv, q.qv)))) AS BIGINT) AS cos_x1000 "
@@ -1206,12 +1206,12 @@ def oracle_sql() -> dict[str, str]:
     knn_sql = (
         "SELECT a_id, rank, b_id, cos_x1000 FROM ("
         "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
-        "CAST(floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "CAST(round(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS BIGINT) "
         "AS cos_x1000, "
         "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-        "floor(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "round(1000 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
         "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
         "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) DESC, "
         "b.vec_id ASC) AS rank "
@@ -1327,7 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 10000 + t, list_transform(embedding::DOUBLE[], "
             "x -> x * (2 ** t)) FROM embeddings, "
             "(SELECT unnest(range(1, 11)) AS t) WHERE vec_id = 0) "
-            "SELECT vec_id, CAST(floor(1000 * list_dot_product(e, q.qv) / "
+            "SELECT vec_id, CAST(round(1000 * list_dot_product(e, q.qv) / "
             "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv)))) "
             "AS BIGINT) AS cos_x1000 FROM corpus, "
             "(SELECT embedding::DOUBLE[] AS qv FROM embeddings "
@@ -1466,11 +1466,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], "
             "x -> x * 2) FROM embeddings) "
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
-            "CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "CAST(round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000 "
             "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
-            "AND CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "AND CAST(round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= 900"
         ),
@@ -1482,11 +1482,11 @@ def oracle_sql() -> dict[str, str]:
             "x -> x * 2) FROM embeddings) "
             "SELECT a_id, rank, b_id, cos_x1000 FROM ("
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
-            "CAST(floor(1000 * list_dot_product(a.e, b.e) / "
+            "CAST(round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000, "
             "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
-            "floor(1000 * list_dot_product(a.e, b.e) / "
+            "round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
             "sqrt(list_dot_product(b.e, b.e)))) DESC, b.vec_id ASC) AS rank "
             "FROM corpus a, corpus b WHERE a.vec_id != b.vec_id) "

@@ -45,7 +45,7 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     return (
         df.select(
             "vec_id",
-            F.floor(F.col("_cos") * 1000).cast("long").alias("cos_x1000"),
+            F.round(F.col("_cos") * 1000, 0).cast("long").alias("cos_x1000"),
         )
         .orderBy(F.desc("cos_x1000"), F.asc("vec_id"))
         .limit(k)
@@ -67,7 +67,7 @@ def knn_join_exact(embeddings: DataFrame, k: int = 3) -> DataFrame:
         _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
     )
     scored = pairs.select(
-        "a_id", "b_id", F.floor(cos * 1000).cast("long").alias("cos_x1000")
+        "a_id", "b_id", F.round(cos * 1000, 0).cast("long").alias("cos_x1000")
     )
     w = Window.partitionBy("a_id").orderBy(
         F.desc("cos_x1000"), F.asc("b_id")
@@ -128,7 +128,7 @@ def _multiprobe_scored_pairs(embeddings: DataFrame, n_planes: int,
         _norm(F.col("a_vec")) * _norm(F.col("b_vec"))
     )
     return pairs.select(
-        "a_id", "b_id", F.floor(cos * 1000).cast("long").alias("cos_x1000")
+        "a_id", "b_id", F.round(cos * 1000, 0).cast("long").alias("cos_x1000")
     )
 
 
@@ -162,6 +162,9 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
                              n_planes: int = 6, probe_bits: int = 2,
                              dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multiprobe LSH candidates
+    (cos_x1000 uses round, not floor: identical-direction pairs sit at
+    cosine EXACTLY 1.0, i.e. ON a floor boundary, where a 1-ulp
+    engine-difference flips 1000 to 999; round is boundary-free there)
     (_multiprobe_scored_pairs, shared with knn_join_lsh) verified with
     exact cosine — the embedding flavor of the dedup family.  Returns
     (a_id, b_id, cos_x1000) with a_id < b_id (each unordered candidate pair
