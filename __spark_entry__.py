@@ -573,6 +573,30 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ann_topk(corpus, _query_vec(spark, sf_dir), k=10, exclude_id=0)
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF (coarse-quantizer) ANN top-10 — the second scale path next to
+    LSH — over the corpus + 10 planted scale-twins of the query vector.
+    Cosine argmax is scale-invariant, so each twin provably lands in the
+    query's cell; the query's own cell is probe #1, so recall of all 10
+    twins is 1.0 by construction and the exact oracle must agree."""
+    from rs_trafilatura_spark.operators.similarity import ivf_topk
+
+    embs = (_embs(spark, sf_dir)
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    "embedding"))
+    base = embs.filter(F.col("vec_id") == 0)
+    twins = base.select(
+        F.explode(F.array(*[F.lit(t) for t in range(1, 11)])).alias("t"),
+        "embedding",
+    ).select(
+        (F.col("t") + 10000).cast("long").alias("vec_id"),
+        _twin(F.col("embedding"), F.col("t")).alias("embedding"),
+    )
+    corpus = embs.unionByName(twins)
+    return ivf_topk(corpus, _query_vec(spark, sf_dir), k=10,
+                    n_cells=16, n_probe=4, exclude_id=0)
+
+
 def q_knn_join(spark, sf_dir):
     from rs_trafilatura_spark.operators.similarity import knn_join_exact
 
@@ -961,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "knn_join": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1319,6 +1344,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "embedding_topk": topk_sql,
         "ann_lsh_topk": (
+            # exact top-10 over the corpus + 10 planted scale-twins of the
+            # query vector (x * 2^t is exact in float and double, so both
+            # engines compute identical cosines)
+            "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings UNION ALL "
+            "SELECT 10000 + t, list_transform(embedding::DOUBLE[], "
+            "x -> x * (2 ** t)) FROM embeddings, "
+            "(SELECT unnest(range(1, 11)) AS t) WHERE vec_id = 0) "
+            "SELECT vec_id, CAST(round(1000 * list_dot_product(e, q.qv) / "
+            "(sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(q.qv, q.qv)))) "
+            "AS BIGINT) AS cos_x1000 FROM corpus, "
+            "(SELECT embedding::DOUBLE[] AS qv FROM embeddings "
+            "WHERE vec_id = 0) q "
+            "WHERE vec_id != 0 ORDER BY cos_x1000 DESC, vec_id ASC LIMIT 10"
+        ),
+        "ivf_ann_topk": (
             # exact top-10 over the corpus + 10 planted scale-twins of the
             # query vector (x * 2^t is exact in float and double, so both
             # engines compute identical cosines)

@@ -232,3 +232,83 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     bucketed = embeddings.withColumn("_sig", lsh_bucket_expr(dim, n_planes))
     cands = bucketed.filter(F.col("_sig").isin(list(probe_sigs))).drop("_sig")
     return cosine_topk(cands, query_vec, k, exclude_id=exclude_id)
+
+
+# --- IVF ANN ------------------------------------------------------------------------
+
+
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 16,
+                        iters: int = 3,
+                        dim: int | None = None) -> list[list[float]]:
+    """Deterministic spherical-kmeans cell centroids (the IVF coarse
+    quantizer): seeds are the ``n_cells`` lowest vec_ids (no RNG — same
+    centroids every run on both engines), then Lloyd iterations with
+    cosine assignment and mean/renormalize updates.  Each iteration is a
+    full Spark pass (assignment in codegen + one groupBy of n_cells
+    groups); only the O(n_cells * dim) centroid table ever reaches the
+    driver, so training scales to arbitrarily many vectors."""
+    seeds = (
+        embeddings.orderBy("vec_id").limit(n_cells)
+        .select("embedding").collect()
+    )
+    cents = [np.asarray([float(x) for x in r["embedding"]], dtype=np.float64)
+             for r in seeds]
+    cents = [c / (np.linalg.norm(c) or 1.0) for c in cents]
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    for _ in range(iters):
+        cell = _ivf_cell_expr(cents)
+        sums = (
+            embeddings.select(cell.alias("_cell"), emb.alias("_e"))
+            .groupBy("_cell")
+            .agg(*[
+                F.sum(F.element_at("_e", i + 1)).alias(f"s{i}")
+                for i in range(len(cents[0]))
+            ])
+            .collect()
+        )
+        new = list(cents)
+        for r in sums:
+            v = np.asarray([r[f"s{i}"] for i in range(len(cents[0]))],
+                           dtype=np.float64)
+            n = np.linalg.norm(v)
+            if n > 0:
+                new[r["_cell"]] = v / n
+        cents = new
+    return [[float(x) for x in c] for c in cents]
+
+
+def _ivf_cell_expr(centroids):
+    """argmax-cosine cell id as a pure column expression: one dot product
+    per (unit-norm) centroid, array_position(array_max) — codegen, no UDF.
+    Cosine argmax is scale-invariant, so a scaled twin provably lands in
+    its original's cell (the recall fixture's argument)."""
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dots = F.array(*[
+        _dot(emb, F.array(*[F.lit(float(v)) for v in c])) / _norm(emb)
+        for c in centroids
+    ])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
+             centroids: list[list[float]] | None = None,
+             n_cells: int = 16, n_probe: int = 4,
+             exclude_id: int | None = None) -> DataFrame:
+    """IVF approximate top-k: assign vectors to their argmax-cosine cell,
+    probe the ``n_probe`` cells nearest the query, exact cosine within.
+    The second scale path next to LSH (``ann_topk``): at 10^9+ rows the
+    cell id is a write-time partition column, so a probe reads
+    n_probe/n_cells of the corpus via partition pruning."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv) or 1.0
+    by_cos = sorted(
+        range(len(centroids)),
+        key=lambda i: -(np.asarray(centroids[i]) @ qv) / qn,
+    )
+    probe = [int(i) for i in by_cos[:n_probe]]
+    cands = embeddings.withColumn("_cell", _ivf_cell_expr(centroids)).filter(
+        F.col("_cell").isin(probe)
+    ).drop("_cell")
+    return cosine_topk(cands, query_vec, k, exclude_id=exclude_id)

@@ -272,3 +272,24 @@ def test_chunk_documents(spark):
     # every token of doc 1 appears in some chunk
     all_text = " ".join(got[(1, i)]["chunk_text"] for i in range(3))
     assert "w449" in all_text
+
+
+def test_ivf_topk_recall_with_twins(spark):
+    """IVF: twins of the query share its cell (cosine argmax is
+    scale-invariant), so recall of planted twins is 1.0 by construction."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from rs_trafilatura_spark.operators.similarity import (
+        ivf_topk, train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    q = rows[0][1]
+    twins = [(1000 + t, [x * float(2 ** t) for x in q]) for t in range(1, 6)]
+    df = spark.createDataFrame(rows + twins, ["vec_id", "embedding"])
+    cents = train_ivf_centroids(df, n_cells=4, iters=2)
+    assert len(cents) == 4 and len(cents[0]) == 16
+    out = ivf_topk(df, q, k=5, centroids=cents, n_probe=2, exclude_id=0)
+    got = [r["vec_id"] for r in out.collect()]
+    assert sorted(got) == [1001, 1002, 1003, 1004, 1005], got
