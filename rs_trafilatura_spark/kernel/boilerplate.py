@@ -76,8 +76,14 @@ def _is_false_positive_nav_token(token: str) -> bool:
     return False
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=16384)
 def is_boilerplate(name: str, comments_are_content: bool = False) -> bool:
-    """True if a class/id attribute value marks boilerplate."""
+    """True if a class/id attribute value marks boilerplate.  Pure
+    function of its arguments; memoized because real pages repeat the
+    same class strings hundreds of times."""
     for token in name.split():
         if not _is_false_positive_nav_token(token):
             if NAVIGATION_CLASS.search(token):
@@ -120,8 +126,9 @@ _ALWAYS_EXCLUDED_SUBSTRINGS = (
 )
 
 
+@lru_cache(maxsize=16384)
 def is_always_excluded_name(name: str) -> bool:
-    """Hard substring blocklist (extract.rs:2934-2952)."""
+    """Hard substring blocklist (extract.rs:2934-2952).  Memoized (pure)."""
     low = name.lower()
     return any(s in low for s in _ALWAYS_EXCLUDED_SUBSTRINGS)
 
