@@ -102,9 +102,26 @@ def strip_site_suffix(title: str, sitename: Optional[str] = None) -> str:
 # --- JSON-LD --------------------------------------------------------------------
 
 
-def iter_jsonld_objects(doc: Document):
+def _tag_index(doc: Document) -> dict:
+    """One walk -> {tag: [elements in doc order]}: the metadata cascade
+    probes a dozen tag-known selectors, and sharing a single index walk
+    replaces a dozen full-tree scans (semantics identical — the lists are
+    in document order, exactly what select() yields)."""
+    idx: dict = {}
+    for el in doc.root.iterdesc():
+        idx.setdefault(el.tag, []).append(el)
+    return idx
+
+
+def iter_jsonld_objects(doc: Document, idx: dict | None = None):
     """Yield every parsed JSON-LD object (flattening @graph and lists)."""
-    for script in select(doc.root, "script[type='application/ld+json']"):
+    scripts = (
+        [s for s in idx.get("script", ())
+         if s.get("type") == "application/ld+json"]
+        if idx is not None
+        else select(doc.root, "script[type='application/ld+json']")
+    )
+    for script in scripts:
         raw = script.text.strip()
         if not raw:
             continue
@@ -158,11 +175,12 @@ def find_jsonld_product_description(doc: Document) -> Optional[str]:
     return None
 
 
-def _jsonld_metadata(doc: Document, meta: dict) -> None:
+def _jsonld_metadata(doc: Document, meta: dict,
+                     idx: dict | None = None) -> None:
     """Article schemas win by importance: article base 100, others 50
     (json_ld.rs:137-140 simplified: first article-typed object wins)."""
     article_obj = None
-    for obj in iter_jsonld_objects(doc):
+    for obj in iter_jsonld_objects(doc, idx):
         types = _jsonld_types(obj)
         if any(t in _ARTICLE_TYPES for t in types):
             article_obj = obj
@@ -220,8 +238,9 @@ def _jsonld_metadata(doc: Document, meta: dict) -> None:
 # --- meta tags ------------------------------------------------------------------------
 
 
-def _meta_tags(doc: Document, meta: dict) -> None:
-    for m in select(doc.root, "meta"):
+def _meta_tags(doc: Document, meta: dict, idx: dict | None = None) -> None:
+    metas = idx.get("meta", ()) if idx is not None else select(doc.root, "meta")
+    for m in metas:
         # http-equiv="content-language" is the legacy language channel the
         # reference reads too (extract.rs:1753-1757)
         key = (m.get("property") or m.get("name") or m.get("itemprop")
@@ -267,9 +286,16 @@ def _meta_tags(doc: Document, meta: dict) -> None:
 # --- DOM fallbacks -----------------------------------------------------------------------
 
 
-def _title_from_dom(doc: Document, meta: dict) -> None:
+def _title_from_dom(doc: Document, meta: dict,
+                    idx: dict | None = None) -> None:
+    def _first(tag):
+        if idx is not None:
+            lst = idx.get(tag)
+            return lst[0] if lst else None
+        return select_first(doc.root, tag)
+
     if not meta.get("title"):
-        title_el = select_first(doc.root, "title")
+        title_el = _first("title")
         if title_el is not None:
             raw = clean_text(title_el.text_content())
             if raw:
@@ -278,7 +304,7 @@ def _title_from_dom(doc: Document, meta: dict) -> None:
                 meta["title_raw"] = raw
                 meta["title"] = strip_site_suffix(raw, meta.get("sitename"))
         if not meta.get("title"):
-            h1 = select_first(doc.root, "h1")
+            h1 = _first("h1")
             if h1 is not None:
                 t = clean_text(h1.text_content())
                 if t:
@@ -286,7 +312,7 @@ def _title_from_dom(doc: Document, meta: dict) -> None:
     else:
         meta.setdefault("title_raw", meta["title"])
     # h1 preference when contained in title (dom_extraction.rs:112-128)
-    h1 = select_first(doc.root, "h1")
+    h1 = _first("h1")
     if h1 is not None and meta.get("title"):
         h1_text = clean_text(h1.text_content())
         raw = meta.get("title_raw", meta["title"])
@@ -294,17 +320,19 @@ def _title_from_dom(doc: Document, meta: dict) -> None:
             meta["title"] = h1_text
 
 
-def _date_from_dom(doc: Document, meta: dict) -> None:
+def _date_from_dom(doc: Document, meta: dict,
+                   idx: dict | None = None) -> None:
     if meta.get("date"):
         return
-    for t in select(doc.root, "time"):
+    times = idx.get("time", ()) if idx is not None else select(doc.root, "time")
+    for t in times:
         dt_attr = t.get("datetime")
         if dt_attr:
             d = parse_date(dt_attr)
             if d:
                 meta["date"] = d
                 return
-    for t in select(doc.root, "time"):
+    for t in times:
         d = parse_date(clean_text(t.text_content()))
         if d:
             meta["date"] = d
@@ -328,10 +356,17 @@ def _author_from_dom(doc: Document, meta: dict) -> None:
             return
 
 
-def _canonical_url(doc: Document, meta: dict) -> None:
+def _canonical_url(doc: Document, meta: dict,
+                   idx: dict | None = None) -> None:
     if meta.get("url"):
         return
-    link = select_first(doc.root, "link[rel='canonical']")
+    if idx is not None:
+        link = next(
+            (l for l in idx.get("link", ()) if l.get("rel") == "canonical"),
+            None,
+        )
+    else:
+        link = select_first(doc.root, "link[rel='canonical']")
     if link is not None and link.get("href"):
         meta["url"] = link.get("href")
 
@@ -366,7 +401,8 @@ def _categories_from_dom(doc: Document, meta: dict) -> None:
         meta["categories"] = cats
 
 
-def _license_from_dom(doc: Document, meta: dict) -> None:
+def _license_from_dom(doc: Document, meta: dict,
+                      idx: dict | None = None) -> None:
     """Footer CC mentions + rel=license links (dom_extraction.rs:519-563)."""
     if meta.get("license"):
         return
@@ -377,7 +413,11 @@ def _license_from_dom(doc: Document, meta: dict) -> None:
             if m:
                 meta["license"] = f"CC {m.group(1).upper()}"
                 return
-    for a in select(doc.root, "a[rel='license']"):
+    anchors = (
+        [a for a in idx.get("a", ()) if a.get("rel") == "license"]
+        if idx is not None else select(doc.root, "a[rel='license']")
+    )
+    for a in anchors:
         href = a.get("href")
         if href:
             m = _CC_HREF_RE.search(href)
@@ -402,15 +442,16 @@ def extract_metadata(doc: Document, author_blacklist: tuple[str, ...] = ()) -> d
     """Fixed-order cascade (metadata/mod.rs:39-82). Runs on the UNCLEANED
     document (meta/script tags still present, extract.rs:52)."""
     meta: dict = {}
-    _jsonld_metadata(doc, meta)
-    _meta_tags(doc, meta)
-    _title_from_dom(doc, meta)
-    _date_from_dom(doc, meta)
+    idx = _tag_index(doc)
+    _jsonld_metadata(doc, meta, idx)
+    _meta_tags(doc, meta, idx)
+    _title_from_dom(doc, meta, idx)
+    _date_from_dom(doc, meta, idx)
     _author_from_dom(doc, meta)
-    _canonical_url(doc, meta)
+    _canonical_url(doc, meta, idx)
     _language_from_dom(doc, meta)
     _categories_from_dom(doc, meta)
-    _license_from_dom(doc, meta)
+    _license_from_dom(doc, meta, idx)
     _sitename_from_title(meta)
 
     # post-process
