@@ -470,6 +470,23 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+def q_redact_pii(spark, sf_dir):
+    """PII scrub over documents with planted emails/phones (the natural
+    corpus has none, so the plant makes the redaction observable); counts
+    + redacted text both checked, via Java/RE2-agreeing patterns."""
+    from rs_trafilatura_spark.operators.textstats import redact_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"), _id_str(),
+            F.lit("@example.com or 555-123-4567."),
+        ).alias("text"),
+    )
+    return redact_pii(docs)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Token-bounded overlapping chunking (training-data windowing) —
     pure-Catalyst one-to-many; the oracle reproduces the chunk grid with
@@ -976,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
+        "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1294,6 +1312,21 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s'']+')) "
             "/ len(string_split(text, ' '))) AS BIGINT) AS bpe_per_ws_x1000 "
             "FROM documents"
+        ),
+        "redact_pii": (
+            "WITH d AS (SELECT doc_id, text || ' Contact: user' || doc_id "
+            "|| '@example.com or 555-123-4567.' AS text FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) "
+            "AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b')) AS BIGINT) "
+            "AS n_phones, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', "
+            "'g'), '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '<PHONE>', 'g') "
+            "AS redacted_text FROM d"
         ),
         "chunk_documents": (
             "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "

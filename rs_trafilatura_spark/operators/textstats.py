@@ -147,3 +147,28 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 200,
         F.size(piece).cast("long").alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+# PII patterns constrained to constructs with identical semantics in Java
+# regex (Spark codegen) and RE2 (DuckDB), so oracles are engine-independent
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def redact_pii(documents: DataFrame) -> DataFrame:
+    """Email/phone redaction — the standard pretraining-corpus scrub.
+    Pure Catalyst (regexp_replace / regexp_count), whole-stage codegen;
+    at 100 TB this is a map-only pass fused into whatever scan feeds it."""
+    text = F.col("text")
+    emails = F.regexp_count(text, F.lit(EMAIL_PATTERN))
+    phones = F.regexp_count(text, F.lit(PHONE_PATTERN))
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+        PHONE_PATTERN, "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        emails.cast("long").alias("n_emails"),
+        phones.cast("long").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )

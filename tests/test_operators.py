@@ -293,3 +293,21 @@ def test_ivf_topk_recall_with_twins(spark):
     out = ivf_topk(df, q, k=5, centroids=cents, n_probe=2, exclude_id=0)
     got = [r["vec_id"] for r in out.collect()]
     assert sorted(got) == [1001, 1002, 1003, 1004, 1005], got
+
+
+def test_redact_pii(spark):
+    from rs_trafilatura_spark.operators.textstats import redact_pii
+
+    rows = [
+        (1, "Mail me at jane.doe+x@mail.example.org or call 555-123-4567 now"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.co c@d.io and 111.222.3333"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert "<EMAIL>" in got[1]["redacted_text"]
+    assert "<PHONE>" in got[1]["redacted_text"]
+    assert "jane" not in got[1]["redacted_text"]
+    assert got[2]["redacted_text"] == "no pii here at all"
+    assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
