@@ -445,6 +445,23 @@ def q_extract_metadata_full(spark, sf_dir):
     )
 
 
+def q_quality_heuristic(spark, sf_dir):
+    """The extraction-quality heuristic (kernel/quality.py, reference
+    extract.rs:880-985) pinned directly: page_type is forced so the
+    expected-length table is fixed, and the oracle reproduces the exact
+    float chain (same operation order -> identical IEEE doubles ->
+    identical floor)."""
+    from rs_trafilatura_spark.options import Options
+
+    out = _run_kernel(spark, _wrap_roundtrip(_docs(spark, sf_dir)),
+                      Options(page_type="article"))
+    return out.select(
+        "url",
+        F.floor(F.col("extraction_quality") * 1000).cast("long")
+        .alias("quality_x1000"),
+    )
+
+
 def q_extract_stage_metrics(spark, sf_dir):
     from rs_trafilatura_spark.plans import stage_metrics
 
@@ -990,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
         "extract_stage_metrics": q_extract_stage_metrics,
+        "quality_heuristic": q_quality_heuristic,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
@@ -1122,6 +1140,42 @@ SELECT 'https://docs.example/blog/doc-' || doc_id AS url,
   + CAST(floor(1000 * (c78 * 1.0 / T)) AS BIGINT)
   + 1000 * c65 + c84 AS checksum_x1000
 FROM counted
+"""
+
+
+def _quality_heuristic_sql() -> str:
+    """floor(1000 * quality) over template A with page_type pinned:
+    mirrors kernel/quality.py's float chain in the SAME operation order
+    (left-associative subtraction sequence), so both engines produce
+    bit-identical IEEE doubles and identical floors."""
+    from rs_trafilatura_spark.kernel.quality import _BOILERPLATE_KEYWORDS
+
+    hconst = len(_RT_P1) + len(_RT_P3) + len(_RT_P5) + 3 + len(_RT_P7)
+    bp = " + ".join(
+        "CASE WHEN contains(lower(substr(text, 1, 200)), "
+        f"'{kw}') THEN 1 ELSE 0 END"
+        for kw in _BOILERPLATE_KEYWORDS
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, length(text) AS L,
+    {hconst} + length(lang) + length(CAST(doc_id AS VARCHAR))
+      + length(text) AS H,
+    {bp} AS bp
+  FROM documents
+)
+SELECT 'https://docs.example/blog/doc-' || doc_id AS url,
+  CAST(floor(1000 * GREATEST(0.0, LEAST(1.0, 1.0
+    - CASE WHEN L * 1.0 / H < 0.005 THEN 0.30
+           WHEN L * 1.0 / H < 0.01 THEN 0.20
+           WHEN L * 1.0 / H < 0.02 THEN 0.10 ELSE 0.0 END
+    - CASE WHEN L * 1.0 / H > 0.30 THEN 0.10 ELSE 0.0 END
+    - CASE WHEN L < 100 THEN 0.30 WHEN L < 750 THEN 0.20
+           WHEN L < 1500 THEN 0.10 ELSE 0.0 END
+    + CASE WHEN L BETWEEN 1500 AND 15000 THEN 0.05 ELSE 0.0 END
+    - CASE WHEN bp >= 2 THEN 0.25 WHEN bp = 1 THEN 0.10 ELSE 0.0 END
+  ))) AS BIGINT) AS quality_x1000
+FROM scored
 """
 
 
@@ -1469,6 +1523,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) + 3 AS BIGINT) AS s2_len "
             "FROM documents WHERE length(text) >= 300"
         ),
+        "quality_heuristic": _quality_heuristic_sql(),
         "curation_audit": _curation_audit_sql(),
         "resume_manifest": (
             "SELECT CAST(('0x' || substr(md5("
