@@ -200,3 +200,26 @@ def test_checkpoint_fingerprint_verify_detects_changed_input(spark, tmp_path):
             spark, changed, out_dir, OPTS, n_chunks=2,
             verify_input_fingerprint=True,
         )
+
+
+def test_checkpoint_manifest_records_input_rows(spark, tmp_path):
+    """The manifest stores the INPUT row count separately from the
+    output-row sum (ADVICE r2), and unchanged input resumes clean under
+    fingerprint verification."""
+    from rs_trafilatura_spark.sources import run_extraction_checkpointed
+    from rs_trafilatura_spark.sources.checkpoint import completed_chunks
+
+    out_dir = str(tmp_path / "out")
+    pages = generate_pages_df(spark, 20)
+    run_extraction_checkpointed(spark, pages, out_dir, OPTS, n_chunks=2)
+    manifest = completed_chunks(out_dir)
+    assert set(manifest) == {0, 1}
+    for entry in manifest.values():
+        assert "input_rows" in entry
+        assert entry["input_rows"] == entry["rows"]  # kernel is row-preserving
+    assert sum(e["input_rows"] for e in manifest.values()) == 20
+    s2 = run_extraction_checkpointed(
+        spark, pages, out_dir, OPTS, n_chunks=2,
+        verify_input_fingerprint=True,
+    )
+    assert s2["chunks_skipped"] == 2 and s2["chunks_run"] == 0
