@@ -507,3 +507,30 @@ def test_md_options_populated_and_none_when_disabled():
     assert on["content_markdown"]
     off = extract(html)
     assert off["content_markdown"] is None
+
+
+# ---- url_utils.rs public API parity ----------------------------------------------
+
+
+def test_url_utils_api_parity():
+    """url_utils.rs:16-210 — the remaining public helpers."""
+    from rs_trafilatura_spark.functions.urlutils import (
+        get_base_url,
+        get_domain_url,
+        is_absolute_url,
+        normalize_url,
+        urls_match,
+    )
+
+    assert is_absolute_url("https://example.com/a")
+    assert not is_absolute_url("ftp://example.com")
+    assert not is_absolute_url("/relative/path")
+    assert not is_absolute_url("")
+    assert get_domain_url("https://sub.example.com/p?q=1") == "sub.example.com"
+    assert get_domain_url("/rel") == ""
+    assert get_base_url("https://example.com/deep/path") == "https://example.com"
+    assert get_base_url("nope") == ""
+    assert normalize_url("https://e.com/a/#frag") == "https://e.com/a"
+    assert normalize_url("https://e.com/") == "https://e.com/"
+    assert urls_match("https://e.com/a#x", "https://e.com/a/")
+    assert not urls_match("https://e.com/a", "https://e.com/b")
