@@ -62,12 +62,10 @@ def extract_comments(doc: Document, opts: Options) -> tuple[Optional[str], Optio
     text, _spans = extract_filtered_text(
         section, opts, filter_named_boilerplate=True, comments_are_content=True
     )
-    # min_output_comm_size is a WORD count (extract.rs:1123-1133 counts words
-    # of >= min_word_length chars), not characters
-    from .extract import _meets_min_words
-
-    if not _meets_min_words(text, opts.min_word_length,
-                            opts.min_output_comm_size):
+    if not text:
         return None, None
+    # the min_output_comm_size WORD threshold is applied by the caller's
+    # final-validation step, which also emits the "Comments section
+    # removed" warning (extract.rs:1122-1133)
     html = extract_filtered_html(section, opts, comments_are_content=True) or None
     return text, html

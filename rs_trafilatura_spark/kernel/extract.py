@@ -376,7 +376,14 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         not _meets_min_words(text, opts.min_word_length, opts.min_output_size)
         or len(text) < opts.min_extracted_len
     ):
-        warnings.append("Insufficient content after extraction")
+        # exact reference format (extract.rs:1104-1110); the count is only
+        # computed here, on the already-insufficient (small) text
+        warnings.append(
+            "Insufficient content after extraction: "
+            f"{_count_words(text, opts.min_word_length)} words "
+            f"(min: {opts.min_output_size}), {len(text)} chars "
+            f"(min: {opts.min_extracted_len})"
+        )
     if len(text) > opts.max_extracted_len:
         # Span contract under truncation: source spans (kind = tag name)
         # index the ORIGINAL html and are kept as-is — they describe where
@@ -386,12 +393,27 @@ def extract(html: str, opts: Options = DEFAULT_OPTIONS) -> dict:
         # ("out:<stage>") are computed AFTER this point, so they always
         # match the truncated text.
         text = text[: opts.max_extracted_len]
-        warnings.append("Content truncated at max_extracted_len")
+        # exact reference format (extract.rs:1115-1119)
+        warnings.append(
+            f"Content truncated to max length: {opts.max_extracted_len}"
+        )
     if not text:
         stage = "empty"
         # exact reference wording (extract.rs:162) — the extraction_test.rs
         # family asserts on this string
         warnings.append("Content extraction failed - no main content found")
+
+    # comments validation AFTER truncation, with the reference's warning
+    # (extract.rs:1122-1133); min_output_comm_size is a WORD count
+    if comments_text is not None:
+        comm_words = _count_words(comments_text, opts.min_word_length)
+        if comm_words < opts.min_output_comm_size:
+            comments_text = None
+            comments_html = None
+            warnings.append(
+                f"Comments section removed: {comm_words} words "
+                f"(min: {opts.min_output_comm_size})"
+            )
 
     # option toggles declared by the reference Options (options.rs:177,214;
     # unused in its live path — wired as real behavior here)

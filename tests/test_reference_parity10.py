@@ -534,3 +534,64 @@ def test_url_utils_api_parity():
     assert normalize_url("https://e.com/") == "https://e.com/"
     assert urls_match("https://e.com/a#x", "https://e.com/a/")
     assert not urls_match("https://e.com/a", "https://e.com/b")
+
+
+# ---- extract.rs inline tests: warning formats + BEM boilerplate ------------------
+
+
+def test_warning_generation_insufficient_content():
+    """extract.rs:4111-4135 — warning carries counts and thresholds."""
+    r = extract(
+        "<html><body><article><p>Too short</p></article></body></html>",
+        Options(min_output_size=100, min_extracted_len=500),
+    )
+    w = next(w for w in r["warnings"] if "Insufficient content" in w)
+    assert "words" in w and "chars" in w and "min:" in w
+
+
+def test_warning_generation_truncated_content():
+    """extract.rs:4137-4160 — truncation warning carries the max length."""
+    long_text = "word " * 300
+    r = extract(
+        f"<html><body><article><p>{long_text}</p></article></body></html>",
+        Options(max_extracted_len=800, min_output_size=5),
+    )
+    assert len(r["content_text"]) <= 800
+    w = next(w for w in r["warnings"] if "truncated" in w)
+    assert "800" in w
+
+
+def test_comments_validation_min_output_comm_size():
+    """extract.rs:4081-4109 — short comments removed with a warning."""
+    html = ("<html><body><article><p>Main content with enough words to pass "
+            "validation checks here.</p></article>"
+            '<div class="comments"><p>Short comment</p></div></body></html>')
+    r = extract(html, Options(include_comments=True, min_output_comm_size=50,
+                              min_output_size=5, min_extracted_len=10))
+    assert r["comments_text"] is None
+    assert r["comments_html"] is None
+    w = next(w for w in r["warnings"] if "Comments section removed" in w)
+    assert "words" in w and "min:" in w
+
+
+def test_bem_boilerplate_classification():
+    """extract.rs:3946-3991 — BEM layout/component prefixes are exempted
+    unless another boilerplate pattern still matches."""
+    from rs_trafilatura_spark.kernel.boilerplate import is_boilerplate
+
+    assert not is_boilerplate("l-sidebar-fixed")
+    assert not is_boilerplate("l-sidebar l-segment")
+    assert not is_boilerplate("l-sidebar-fixed l-article-body-segment")
+    assert not is_boilerplate("c-social-buttons")
+    assert is_boilerplate("c-social-share")
+    assert is_boilerplate("l-sidebar footer")
+    assert is_boilerplate("c-widget sidebar")
+    assert is_boilerplate("sidebar")
+    assert is_boilerplate("sidebar-widget")
+    assert is_boilerplate("social-share")
+    assert is_boilerplate("footer-links")
+    assert is_boilerplate("c-newsletter")
+    assert is_boilerplate("c-related-articles")
+    assert is_boilerplate("l-footer")
+    assert is_boilerplate("c-comment-section")
+    assert not is_boilerplate("address")
