@@ -714,6 +714,21 @@ def q_multimodal_frame_sample(spark, sf_dir):
     return sample_frames(documents_as_fake_images(_docs(spark, sf_dir)))
 
 
+def q_pdf_roundtrip(spark, sf_dir):
+    """The PDF text layer end-to-end: every document rendered into a
+    real Flate-compressed single-page PDF, then extracted back — the
+    text must round-trip exactly (functions/pdf.py; the 'PDF/layout
+    parse' slot of the extraction tier)."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.multimodal import (
+        documents_as_pdfs,
+        extract_pdf_text_column,
+    )
+
+    out = extract_pdf_text_column(documents_as_pdfs(_docs(spark, sf_dir)))
+    return out.select("doc_id", F.col("pdf_text").alias("text"))
+
+
 def q_page_type_features(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.features import page_type_features
@@ -1028,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": q_multimodal_image_meta,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
+        "pdf_roundtrip": q_pdf_roundtrip,
         "page_type_features": q_page_type_features,
         "extract_structured": q_extract_structured,
         "extract_images": q_extract_images,
@@ -1638,6 +1654,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(w * sc) AS BIGINT) AS new_width, "
             "CAST(floor(h * sc) AS BIGINT) AS new_height, "
             "CAST(floor(n * sc * sc) AS BIGINT) AS resized_len FROM s"
+        ),
+        "pdf_roundtrip": (
+            "SELECT doc_id, text FROM documents"
         ),
         "multimodal_frame_sample": (
             # one row per 64-byte chunk with 25fps timestamps

@@ -154,3 +154,55 @@ def sample_frames(df_with_binary: DataFrame) -> DataFrame:
     return df_with_binary.select("doc_id", "image_bytes").mapInPandas(
         frame_sample_batches, schema=FRAME_SCHEMA
     )
+
+
+# --- PDF text layer -----------------------------------------------------------------
+
+PDF_TEXT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("pdf_text", T.StringType()),
+    T.StructField("n_pdf_bytes", T.LongType()),
+])
+
+
+def documents_as_pdfs(documents: DataFrame) -> DataFrame:
+    """Render each document's text into a real single-page PDF (binary
+    column) — the PDF-corpus simulator for tests/oracles, mirroring
+    documents_as_fake_images."""
+    from ..functions.pdf import build_simple_pdf
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "pdf_bytes": [
+                    build_simple_pdf(t) for t in pdf["text"]
+                ],
+            })
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("pdf_bytes", T.BinaryType()),
+    ])
+    return documents.select("doc_id", "text").mapInPandas(gen, schema=schema)
+
+
+def extract_pdf_text_column(df_with_pdf: DataFrame) -> DataFrame:
+    """PDF text extraction over a binary column (functions/pdf.py:
+    tolerant stream scan, Flate + plain, Tj/TJ operators) as an
+    Arrow-batched mapInPandas — the PDF flavor of the extraction kernel."""
+    from ..functions.pdf import extract_pdf_text
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "pdf_text": [
+                    extract_pdf_text(bytes(b)) for b in pdf["pdf_bytes"]
+                ],
+                "n_pdf_bytes": [len(bytes(b)) for b in pdf["pdf_bytes"]],
+            })
+
+    return df_with_pdf.select("doc_id", "pdf_bytes").mapInPandas(
+        gen, schema=PDF_TEXT_SCHEMA
+    )

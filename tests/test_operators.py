@@ -311,3 +311,19 @@ def test_redact_pii(spark):
     assert "jane" not in got[1]["redacted_text"]
     assert got[2]["redacted_text"] == "no pii here at all"
     assert got[3]["n_emails"] == 2 and got[3]["n_phones"] == 1
+
+
+def test_pdf_text_roundtrip(spark):
+    """Real PDF build + extract over Spark binary columns (functions/pdf)."""
+    from rs_trafilatura_spark.operators.multimodal import (
+        documents_as_pdfs, extract_pdf_text_column,
+    )
+
+    rows = [(1, "Hello PDF.\nWith (parens) and back\\slash."),
+            (2, "plain single line")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           extract_pdf_text_column(documents_as_pdfs(df)).collect()}
+    assert out[1]["pdf_text"] == rows[0][1]
+    assert out[2]["pdf_text"] == rows[1][1]
+    assert out[1]["n_pdf_bytes"] > 400
