@@ -105,17 +105,23 @@ def extract_pdf_text(pdf: bytes) -> str:
             continue  # unsupported filter — skip, don't guess
         if b"BT" not in data:
             continue
+        # Tj/' and TJ operations merged in STREAM order — separate passes
+        # would scramble interleaved lines
+        ops: list[tuple[int, str]] = []
         for tm in _TJ_RE.finditer(data):
-            lines.append(
-                _unescape(tm.group(1)).decode("latin-1", "replace")
-            )
+            ops.append((
+                tm.start(),
+                _unescape(tm.group(1)).decode("latin-1", "replace"),
+            ))
         for am in _TJ_ARRAY_RE.finditer(data):
             parts = [
                 _unescape(s.group(1)).decode("latin-1", "replace")
                 for s in _STR_RE.finditer(am.group(1))
             ]
             if parts:
-                lines.append("".join(parts))
+                ops.append((am.start(), "".join(parts)))
+        ops.sort(key=lambda p: p[0])
+        lines.extend(t for _, t in ops)
     return "\n".join(lines)
 
 

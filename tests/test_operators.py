@@ -327,3 +327,17 @@ def test_pdf_text_roundtrip(spark):
     assert out[1]["pdf_text"] == rows[0][1]
     assert out[2]["pdf_text"] == rows[1][1]
     assert out[1]["n_pdf_bytes"] > 400
+
+
+def test_pdf_tj_array_and_octal():
+    """functions/pdf.py: TJ arrays with kerning numbers and octal escapes
+    in literal strings (the PDF 1.4 text-showing forms beyond plain Tj)."""
+    import zlib
+    from rs_trafilatura_spark.functions.pdf import extract_pdf_text
+
+    content = b"BT [(Hel) -20 (lo) 5 ( wor) (ld)] TJ\n(\\110\\151!) Tj ET"
+    data = zlib.compress(content)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Filter /FlateDecode /Length "
+           + str(len(data)).encode() + b" >>\nstream\n" + data
+           + b"\nendstream\nendobj\n%%EOF\n")
+    assert extract_pdf_text(pdf) == "Hello world\nHi!"
