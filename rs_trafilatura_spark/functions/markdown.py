@@ -26,23 +26,34 @@ def escape_markdown(text: str, in_code_block: bool = False) -> str:
     return "".join(out)
 
 
-def post_process_markdown(markdown: str) -> str:
+def post_process_markdown(markdown: str, line_start: bool = True,
+                          track_code: bool = True) -> str:
     """Position-aware escaping pass (markdown.rs:84-279): escapes literal
     specials in text while preserving code blocks/inline code, matched
     emphasis pairs (**bold**, *italic*, _em_), [text](url) links,
     heading/list/blockquote markers, and already-escaped sequences.
     This is the escaping behavior the live extraction path gets from its
-    converter's escape_special_chars(true) (extract.rs:432-436)."""
+    converter's escape_special_chars(true) (extract.rs:432-436).
+
+    ``line_start``/``track_code`` let callers thread REAL document context
+    when escaping a fragment: a text node continuing an output line passes
+    line_start=False so a leading "* " is not mistaken for a list marker,
+    and per-text-node calls pass track_code=False because converter-level
+    code markers are emitted outside this pass — a literal backtick in
+    prose is then data, not an inline-code toggle."""
     if not markdown:
         return ""
     res: list[str] = []
     i, n = 0, len(markdown)
     in_fenced = False
     in_inline = False
-    line_start = True
     while i < n:
         ch = markdown[i]
         i += 1
+        if ch == "`" and not track_code:
+            res.append(ch)
+            line_start = False
+            continue
         if line_start and ch == "`":
             count = 1
             while i < n and markdown[i] == "`":
@@ -126,7 +137,10 @@ def post_process_markdown(markdown: str) -> str:
         if ch in MARKDOWN_SPECIAL_CHARS:
             res.append("\\")
         res.append(ch)
-        line_start = ch.isspace()
+        # leading indentation keeps line-start status (nested list
+        # markers); a space after visible content does NOT re-arm it, so
+        # "a * b" never reads as a mid-line list marker
+        line_start = line_start and ch.isspace()
     return "".join(res)
 
 
@@ -137,8 +151,16 @@ def _inline(el: Element, include_links: bool) -> str:
     # behavior of the reference's escape_special_chars(true)
     # (extract.rs:432-436)
     parts: list[str] = []
+
+    def _at_line_start() -> bool:
+        for p in reversed(parts):
+            if p:
+                return p.endswith("\n")
+        return True
+
     if el.text:
-        parts.append(post_process_markdown(el.text))
+        parts.append(post_process_markdown(el.text, line_start=True,
+                                           track_code=False))
     for child in el.children:
         t = child.tag
         inner = _inline(child, include_links)
@@ -155,7 +177,11 @@ def _inline(el: Element, include_links: bool) -> str:
         else:
             parts.append(inner)
         if child.tail:
-            parts.append(post_process_markdown(child.tail))
+            # a tail continues the current output line unless a <br> (or a
+            # node ending in a newline) just broke it — real context, so a
+            # tail starting with "* " is not mistaken for a list marker
+            parts.append(post_process_markdown(
+                child.tail, line_start=_at_line_start(), track_code=False))
     return "".join(parts)
 
 

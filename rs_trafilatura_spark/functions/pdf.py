@@ -47,14 +47,14 @@ def _unescape(raw: bytes) -> bytes:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal escape, up to 3 digits
+            if nxt in b"01234567":  # octal escape, up to 3 OCTAL digits
                 j = i + 1
-                while j < min(i + 4, n) and raw[j:j + 1].isdigit():
+                while j < min(i + 4, n) and raw[j] in b"01234567":
                     j += 1
                 out.append(int(raw[i + 1:j], 8) & 0xFF)
                 i = j
                 continue
-            i += 1  # lone backslash: swallowed (PDF spec)
+            i += 1  # lone backslash (incl. before 8/9): swallowed, PDF spec
             continue
         out += c
         i += 1

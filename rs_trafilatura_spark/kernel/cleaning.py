@@ -51,10 +51,14 @@ def _is_modal_consent(el: Element) -> bool:
     return el.get("role") == "dialog"
 
 
-_AD_TOKENS = frozenset(
+_AD_CORE_TOKENS = frozenset(
     {"ad", "ads", "advert", "adverts", "advertisement", "advertisements",
-     "banner", "banners", "sponsor", "sponsored", "promo"}
+     "sponsored"}
 )
+# Generic marketing words: real ads usually pair them with a core ad token
+# ("banner-ad") or put them on ids; a class like "hero-banner" routinely
+# wraps a legitimate article lede, so a bare class match would over-prune.
+_AD_GENERIC_TOKENS = frozenset({"banner", "banners", "sponsor", "promo"})
 _AD_TAGS = frozenset(
     {"div", "dd", "dt", "li", "ul", "ol", "dl", "p", "section", "span"}
 )
@@ -66,14 +70,20 @@ def _is_ad_element(el: Element) -> bool:
     its bulk-cleaning preset, html_processing.rs:200-236 — e.g. its own
     tests expect id="google_ads" and id="banner-ad" removed,
     boilerplate_test.rs:412-501).  Token match, not substring, so
-    "address"/"downloads" never false-positive (boilerplate_test.rs:504)."""
+    "address"/"downloads" never false-positive (boilerplate_test.rs:504).
+    Generic tokens (banner/promo/sponsor) fire alone only on the id
+    attribute (the reference fixtures' shape); on class they need a core
+    ad co-token so content wrappers like class="hero-banner" survive."""
     if el.tag not in _AD_TAGS:
         return False
     for attr in ("class", "id"):
         v = el.get(attr)
-        if v and any(
-            t in _AD_TOKENS for t in _AD_SPLIT.split(v.lower()) if t
-        ):
+        if not v:
+            continue
+        tokens = frozenset(t for t in _AD_SPLIT.split(v.lower()) if t)
+        if tokens & _AD_CORE_TOKENS:
+            return True
+        if attr == "id" and tokens & _AD_GENERIC_TOKENS:
             return True
     return False
 

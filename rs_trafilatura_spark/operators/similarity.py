@@ -100,16 +100,15 @@ def _probe_masks(n_planes: int, probe_bits: int) -> list[int]:
 
 def _multiprobe_scored_pairs(embeddings: DataFrame, n_planes: int,
                              probe_bits: int,
-                             dim: int | None) -> DataFrame:
+                             dim: int) -> DataFrame:
     """(a_id, b_id, cos_x1000) candidate pairs from the multiprobe LSH
     equi-join: the query side explodes its probe signatures (own bucket +
     buckets within ``probe_bits`` Hamming), the join stays an equi-join,
     and each (a, b) pair matches via exactly one probe (the one equal to
     b's signature) — no pair-dedup shuffle.  Shared candidate machinery of
-    knn_join_lsh / embedding_near_dup_pairs.  Pass ``dim`` at scale
-    (schema-known) to avoid the O(1) driver probe."""
-    if dim is None:
-        dim = len(embeddings.select("embedding").first()["embedding"])
+    knn_join_lsh / embedding_near_dup_pairs.  ``dim`` is required — array
+    columns don't carry length in the schema, and probing the data with
+    .first() would force a Spark job before the plan is even built."""
     sig = lsh_bucket_expr(dim, n_planes)
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     tagged = embeddings.select(
@@ -132,9 +131,8 @@ def _multiprobe_scored_pairs(embeddings: DataFrame, n_planes: int,
     )
 
 
-def knn_join_lsh(embeddings: DataFrame, k: int = 3,
-                 n_planes: int = 6, probe_bits: int = 2,
-                 dim: int | None = None) -> DataFrame:
+def knn_join_lsh(embeddings: DataFrame, dim: int, k: int = 3,
+                 n_planes: int = 6, probe_bits: int = 2) -> DataFrame:
     """Approximate KNN join: multiprobe LSH candidates
     (_multiprobe_scored_pairs) + per-key top-k.  The cross product never
     materializes; cost tracks bucket collisions x probe count.
@@ -157,10 +155,9 @@ def knn_join_lsh(embeddings: DataFrame, k: int = 3,
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame,
+def embedding_near_dup_pairs(embeddings: DataFrame, dim: int,
                              cos_threshold_x1000: int = 900,
-                             n_planes: int = 6, probe_bits: int = 2,
-                             dim: int | None = None) -> DataFrame:
+                             n_planes: int = 6, probe_bits: int = 2) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: multiprobe LSH candidates
     (cos_x1000 uses round, not floor: identical-direction pairs sit at
     cosine EXACTLY 1.0, i.e. ON a floor boundary, where a 1-ulp
@@ -221,14 +218,7 @@ def ann_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
     for i in range(n_planes):
         if float(planes[i] @ qv) > 0:
             qsig |= 1 << i
-    probe_sigs = {qsig}
-    if probe_bits >= 1:
-        probe_sigs.update(qsig ^ (1 << i) for i in range(n_planes))
-    if probe_bits >= 2:
-        probe_sigs.update(
-            qsig ^ (1 << i) ^ (1 << j)
-            for i in range(n_planes) for j in range(i + 1, n_planes)
-        )
+    probe_sigs = {qsig ^ m for m in _probe_masks(n_planes, probe_bits)}
     bucketed = embeddings.withColumn("_sig", lsh_bucket_expr(dim, n_planes))
     cands = bucketed.filter(F.col("_sig").isin(list(probe_sigs))).drop("_sig")
     return cosine_topk(cands, query_vec, k, exclude_id=exclude_id)

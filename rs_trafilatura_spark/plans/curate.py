@@ -72,6 +72,18 @@ def curate_pages(
     return deduped
 
 
+# The frame mark_near_duplicates auto-persisted on its last call (at most
+# one): released on the next call or explicitly via release_cache().
+_OWNED_CACHE: list[DataFrame] = []
+
+
+def release_cache() -> None:
+    """Unpersist the frame the last mark_near_duplicates call cached (no-op
+    if the caller persisted its own input, or nothing is cached)."""
+    while _OWNED_CACHE:
+        _OWNED_CACHE.pop().unpersist()
+
+
 def mark_near_duplicates(curated: DataFrame,
                          jaccard_threshold_x1000: int = 800,
                          id_col=None) -> DataFrame:
@@ -85,22 +97,29 @@ def mark_near_duplicates(curated: DataFrame,
     ``id_col``: optional Column mapping url -> 64-bit doc id (default
     xxhash64(url)).  Any deterministic injective-in-practice mapping
     works; an md5-prefix id makes the survivor choice reproducible in
-    engines without xxhash64."""
+    engines without xxhash64.
+
+    Caching contract: the input feeds four plan branches, so it must be
+    materialized or the extraction kernel runs 4-5x (observed; PLANS.md
+    §4d).  If the caller already persisted (or checkpointed/wrote) the
+    frame, it is used as-is and the caller keeps ownership.  Otherwise
+    this function persists it and owns that cache: the previous owned
+    cache is released on the next call, and ``release_cache()`` frees the
+    last one — so a long-lived session holds at most ONE owned frame, not
+    an unbounded accumulation.  At warehouse scale the same role is
+    played by writing the extraction output table before the dedup pass."""
     from ..operators.dedup import lsh_near_dup_pairs
 
     def _id(url_col):
         return (F.xxhash64(url_col) if id_col is None
                 else id_col(url_col))
 
-    # The curated frame feeds FOUR plan branches (both sides of the LSH
-    # band self-join, the verify join-back, and the final loser join);
-    # without materialization Spark recomputes the upstream extraction
-    # kernel once per branch — observed as 5x kernel work in the executed
-    # plan.  Persist once; at warehouse scale the same role is played by
-    # writing the extraction output table before the dedup pass.
     from pyspark import StorageLevel
 
-    curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+    if curated.storageLevel == StorageLevel.NONE:
+        release_cache()
+        curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+        _OWNED_CACHE.append(curated)
 
     kept = curated.filter(F.col("drop_reason").isNull())
     docs = kept.select(
