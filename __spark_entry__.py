@@ -335,6 +335,174 @@ def _wrap_fallback(documents: DataFrame) -> DataFrame:
     )
 
 
+# post-pass ladder templates (queries: extract_merge, extract_repeated_items,
+# extract_jsonld_product, extract_discourse).  Shared doc filter: text length
+# in [450, 900] keeps every candidate-score inequality provable (see the
+# _wrap_merge docstring); page_type is pinned via Options and fallback
+# extraction disabled so the post passes compare against the main-ladder
+# text, not a baseline rescue.
+_PP_LEN_MIN, _PP_LEN_MAX = 450, 900
+
+_MG_P1 = '<!doctype html><html lang="en"><head><title>Doc '
+_MG_P2 = ' - Merge Site</title></head><body><div class="content"><p>'
+_MG_BLOB = ("intercontinental " * 59).strip()  # 1002 chars: rule 4 selects
+# div.content directly (>= MIN_CONTENT_TEXT_LEN, no parent promotion)
+_MG_P3 = "</p></div><section><p>"
+_MG_A2 = ("Our service desk answers within one business day, assigns a "
+          "tracking number to each request for later reference, and routes "
+          "billing questions to a separate queue staffed on weekday "
+          "mornings by the finance liaison team. Most issues close after a "
+          "single reply, while satisfaction surveys follow every closed "
+          "ticket and feed the quarterly training plan for new desk staff "
+          "across both regions. The desk also maintains a public status "
+          "page listing planned maintenance windows, and posts a summary "
+          "of recurring problems at the end of each month so engineering "
+          "teams can plan around known limitations of the platform and "
+          "its supporting tools")
+_MG_P4 = "</p></section><section>"
+_MG_P5 = "</section></body></html>"
+
+
+def _wrap_merge(documents: DataFrame) -> DataFrame:
+    """Template M: service page forcing the multi-candidate merge post pass
+    (extract.rs:644-768; kernel/postprocess.py::try_multi_candidate_merge).
+    Content rule 4 (class == "content") selects div.content directly: its
+    1002-char blob clears MIN_CONTENT_TEXT_LEN so no parent promotion fires,
+    and the main text stays the blob (59 words >= min_output_size, so the
+    recovery ladder and fallback stay off).  The merge pass (service profile
+    => aggregate_sections) then collects the three candidates in score
+    order.  Score inequalities hold for every L = len(text) in [450, 900]
+    given the corpus has no sentence punctuation (doc-section sentence
+    bonus is 0): div.content scores 1002+500+25 = 1527, the doc section
+    L+500 <= 1400, the fixed no-<p> section 634+2*50 = 734 >= top/5 =
+    306, and merged = 1002+L+634+4 > 2*1002 for every L >= 365 — so
+    the merged order is always [div.content, doc section, fixed section]
+    and the pass always fires."""
+    i = _id_str()
+    html = F.concat(
+        F.lit(_MG_P1), i,
+        F.lit(_MG_P2 + _MG_BLOB + _MG_P3),
+        F.col("text"),
+        F.lit(_MG_P4 + _MG_A2 + _MG_P5),
+    )
+    return documents.select(
+        F.concat(F.lit("https://svc.example/about/team-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+_CL_P1 = '<!doctype html><html lang="en"><head><title>Doc '
+_CL_DESC = ("Seasonal guides for the northern orchards, collected over a "
+            "decade of field notes and interviews with the growers "
+            "themselves. Each entry lists the cultivar, the rootstock, and "
+            "the first-frost window observed at the site, with raw tables.")
+_CL_LI2 = ("Walkthrough of the cold-frame build, with a parts list, the "
+           "measured temperatures across four weeks, and what we would "
+           "change on the next build after a full season of use.")
+_CL_LI3 = ("Notes on the drip irrigation retrofit: emitter spacing, observed "
+           "pressure loss along the runs, and the simple fix that cut water "
+           "use by a fifth without hurting yields at all.")
+_CL_P2 = (' - Collection Site</title></head><body>'
+          '<div class="category-description"><p>' + _CL_DESC + "</p></div>"
+          '<div class="feed"><ul><li>')
+_CL_P3 = ("</li><li>" + _CL_LI2 + "</li><li>" + _CL_LI3
+          + "</li></ul></div></body></html>")
+
+
+def _wrap_collection(documents: DataFrame) -> DataFrame:
+    """Template R: collection/listing page forcing repeated-item collection
+    (extract.rs:524-636; kernel/postprocess.py::try_collect_repeated_items)
+    PLUS the collection-description prepend (extract.rs:472-514).  The
+    collection profile's content selector picks div.category-description
+    (248 chars >= min_extracted_len), then the card grid (ul with 3 li of
+    >= 15 words, total >= 450+345 > 2*248) replaces it, and the
+    description — absent from the items — is prepended."""
+    i = _id_str()
+    html = F.concat(
+        F.lit(_CL_P1), i, F.lit(_CL_P2), F.col("text"), F.lit(_CL_P3),
+    )
+    return documents.select(
+        F.concat(F.lit("https://shop.example/collection/guides-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def _wrap_jsonld_product(documents: DataFrame) -> DataFrame:
+    """Template J: product page whose DOM body is a too-short stock notice
+    (< 100 chars => dom_too_short) while the JSON-LD Product description
+    carries the document text — the structured description must override the
+    DOM (extract.rs:292-318; kernel/extract.py step 10d).  The JSON is built
+    with to_json so arbitrary text is correctly escaped."""
+    i = _id_str()
+    ld = F.to_json(F.struct(
+        F.lit("https://schema.org").alias("@context"),
+        F.lit("Product").alias("@type"),
+        F.concat(F.lit("Item "), i).alias("name"),
+        F.col("text").alias("description"),
+    ))
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Item '), i,
+        F.lit(' - Store</title><script type="application/ld+json">'), ld,
+        F.lit('</script></head><body><div class="product-info">'
+              "<p>In stock.</p></div></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://store.example/product/item-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+_DS_REPLY = ("That matches what we saw on the south slope as well, though "
+             "our sensors were cheaper and the wind gusts clipped their "
+             "range on the worst mornings of the spring campaign.")
+
+
+def _html_attr_escape(col):
+    """Minimal HTML attribute escaping for a single-quoted attribute value
+    (html.parser entity-decodes these back): & first, then < > '."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit("'"), F.lit("&#39;"))
+
+
+def _wrap_discourse(documents: DataFrame) -> DataFrame:
+    """Template D: Discourse-style page whose only body payload is the
+    #data-preloaded attribute — JSON-in-JSON (topic_* value is itself a JSON
+    string) holding two cooked posts; the DOM yields no text, so the
+    data-preloaded extraction must win (extractor/fallback.rs:44-110;
+    kernel/fallback.py::extract_discourse_content).  Both JSON layers are
+    built with to_json (inner escaped as a string by the outer), then
+    attribute-escaped for the single-quoted attribute."""
+    i = _id_str()
+    inner = F.to_json(F.struct(F.struct(F.array(
+        F.struct(F.concat(F.lit("<p>"), F.col("text"),
+                          F.lit("</p>")).alias("cooked")),
+        F.struct(F.lit("<p>" + _DS_REPLY + "</p>").alias("cooked")),
+    ).alias("posts")).alias("post_stream")))
+    outer = _html_attr_escape(
+        F.to_json(F.struct(inner.alias("topic_1")))
+    )
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Topic '), i,
+        F.lit("</title></head><body><div id='data-preloaded' "
+              "data-preloaded='"), outer,
+        F.lit("'></div></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://forum.example/t/topic-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
 _TYPED_FAMILIES = ("forum", "product", "documentation")
 
 
@@ -840,6 +1008,77 @@ def q_extract_fallback_spans(spark, sf_dir):
     )
 
 
+def _pp_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(
+        F.col("text").isNotNull()
+        & F.length("text").between(_PP_LEN_MIN, _PP_LEN_MAX)
+    )
+
+
+def _pp_options(page_type: str):
+    from rs_trafilatura_spark.options import Options
+
+    return Options(page_type=page_type, use_fallback_extraction=False)
+
+
+def _span_cols(out, n: int):
+    cols = [F.size("spans").cast("long").alias("n_spans")]
+    for k in range(1, n + 1):
+        s = F.element_at("spans", k)
+        cols += [
+            s.getField("kind").alias(f"s{k}_kind"),
+            s.getField("start").alias(f"s{k}_start"),
+            (s.getField("end") - s.getField("start")).alias(f"s{k}_len"),
+        ]
+    return cols
+
+
+def q_extract_merge(spark, sf_dir):
+    """Stage `merge`: the service-profile multi-candidate merge post pass
+    fires and all three merged candidates carry SOURCE-anchored spans in
+    score order (doc section, div.content, fixed section)."""
+    out = _run_kernel(spark, _wrap_merge(_pp_docs(spark, sf_dir)),
+                      _pp_options("service"))
+    return out.select(
+        "url", "stage", F.col("content_text").alias("text"),
+        *_span_cols(out, 3),
+    )
+
+
+def q_extract_repeated_items(spark, sf_dir):
+    """Stage `repeated_items`: collection-profile card-grid collection
+    replaces the selected description node, which is then prepended as the
+    collection description; spans are the three source li nodes."""
+    out = _run_kernel(spark, _wrap_collection(_pp_docs(spark, sf_dir)),
+                      _pp_options("collection"))
+    return out.select(
+        "url", "stage", F.col("content_text").alias("text"),
+        *_span_cols(out, 3),
+    )
+
+
+def q_extract_jsonld_product(spark, sf_dir):
+    """Stage `jsonld_product`: the structured Product description overrides
+    a too-short DOM body; spans are output-relative (out:jsonld_product)."""
+    out = _run_kernel(spark, _wrap_jsonld_product(_pp_docs(spark, sf_dir)),
+                      _pp_options("product"))
+    return out.select(
+        "url", "stage", F.col("content_text").alias("text"),
+        *_span_cols(out, 1),
+    )
+
+
+def q_extract_discourse(spark, sf_dir):
+    """Stage `discourse`: the #data-preloaded JSON-in-JSON payload is the
+    only content on the page and must win over the (empty) DOM result."""
+    out = _run_kernel(spark, _wrap_discourse(_pp_docs(spark, sf_dir)),
+                      _pp_options("article"))
+    return out.select(
+        "url", "stage", F.col("content_text").alias("text"),
+        *_span_cols(out, 1),
+    )
+
+
 def q_curation_audit(spark, sf_dir):
     """The composed curation pipeline a pretraining user actually runs
     (plans/curate.py): extraction -> quality gate -> language gate ->
@@ -1050,6 +1289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_comments": q_extract_comments,
         "page_type_predict": q_page_type_predict,
         "extract_fallback_spans": q_extract_fallback_spans,
+        "extract_merge": q_extract_merge,
+        "extract_repeated_items": q_extract_repeated_items,
+        "extract_jsonld_product": q_extract_jsonld_product,
+        "extract_discourse": q_extract_discourse,
         "curation_audit": q_curation_audit,
         "resume_manifest": q_resume_manifest,
         "streaming_roundtrip": q_streaming_roundtrip,
@@ -1538,6 +1781,73 @@ def oracle_sql() -> dict[str, str]:
             "AS s2_start, "
             "CAST(length(text) + 3 AS BIGINT) AS s2_len "
             "FROM documents WHERE length(text) >= 300"
+        ),
+        # post-pass ladder: every span offset below is pure template
+        # arithmetic over the page layout the _wrap_* builders emit
+        # (L = length(text), D = length(doc_id); constants baked at
+        # import time from the same template strings Spark uses)
+        "extract_merge": (
+            "SELECT 'https://svc.example/about/team-' || doc_id AS url, "
+            "'merge' AS stage, "
+            f"'{_MG_BLOB}' || chr(10) || chr(10) || text || chr(10) || "
+            f"chr(10) || '{_MG_A2}' AS text, "
+            "CAST(3 AS BIGINT) AS n_spans, "
+            "'div' AS s1_kind, "
+            f"CAST({len(_MG_P1) + len(_MG_P2) - 24}"
+            " + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS s1_start, "
+            f"CAST({24 + len(_MG_BLOB) + 4} AS BIGINT) AS s1_len, "
+            "'section' AS s2_kind, "
+            f"CAST({len(_MG_P1) + len(_MG_P2) + len(_MG_BLOB) + len(_MG_P3) - 12}"
+            " + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS s2_start, "
+            "CAST(length(text) + 16 AS BIGINT) AS s2_len, "
+            "'section' AS s3_kind, "
+            f"CAST({len(_MG_P1) + len(_MG_P2) + len(_MG_BLOB) + len(_MG_P3) + len(_MG_P4) - 9}"
+            " + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) "
+            "AS s3_start, "
+            f"CAST({9 + len(_MG_A2)} AS BIGINT) AS s3_len "
+            f"FROM documents WHERE length(text) BETWEEN {_PP_LEN_MIN} AND {_PP_LEN_MAX}"
+        ),
+        "extract_repeated_items": (
+            "SELECT 'https://shop.example/collection/guides-' || doc_id "
+            "AS url, 'repeated_items' AS stage, "
+            f"'{_CL_DESC}' || chr(10) || chr(10) || text || chr(10) || "
+            f"chr(10) || '{_CL_LI2}' || chr(10) || chr(10) || '{_CL_LI3}' "
+            "AS text, "
+            "CAST(3 AS BIGINT) AS n_spans, "
+            "'li' AS s1_kind, "
+            f"CAST({len(_CL_P1) + len(_CL_P2) - 4}"
+            " + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS s1_start, "
+            "CAST(length(text) + 4 AS BIGINT) AS s1_len, "
+            "'li' AS s2_kind, "
+            f"CAST({len(_CL_P1) + len(_CL_P2) + 5}"
+            " + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) "
+            "AS s2_start, "
+            f"CAST({len(_CL_LI2) + 4} AS BIGINT) AS s2_len, "
+            "'li' AS s3_kind, "
+            f"CAST({len(_CL_P1) + len(_CL_P2) + 5 + 4 + len(_CL_LI2) + 5}"
+            " + length(CAST(doc_id AS VARCHAR)) + length(text) AS BIGINT) "
+            "AS s3_start, "
+            f"CAST({len(_CL_LI3) + 4} AS BIGINT) AS s3_len "
+            f"FROM documents WHERE length(text) BETWEEN {_PP_LEN_MIN} AND {_PP_LEN_MAX}"
+        ),
+        "extract_jsonld_product": (
+            "SELECT 'https://store.example/product/item-' || doc_id AS url, "
+            "'jsonld_product' AS stage, text, "
+            "CAST(1 AS BIGINT) AS n_spans, "
+            "'out:jsonld_product' AS s1_kind, "
+            "CAST(0 AS BIGINT) AS s1_start, "
+            "CAST(length(text) AS BIGINT) AS s1_len "
+            f"FROM documents WHERE length(text) BETWEEN {_PP_LEN_MIN} AND {_PP_LEN_MAX}"
+        ),
+        "extract_discourse": (
+            "SELECT 'https://forum.example/t/topic-' || doc_id AS url, "
+            "'discourse' AS stage, "
+            f"text || ' ' || '{_DS_REPLY}' AS text, "
+            "CAST(1 AS BIGINT) AS n_spans, "
+            "'out:discourse' AS s1_kind, "
+            "CAST(0 AS BIGINT) AS s1_start, "
+            f"CAST(length(text) + 1 + {len(_DS_REPLY)} AS BIGINT) AS s1_len "
+            f"FROM documents WHERE length(text) BETWEEN {_PP_LEN_MIN} AND {_PP_LEN_MAX}"
         ),
         "quality_heuristic": _quality_heuristic_sql(),
         "curation_audit": _curation_audit_sql(),
