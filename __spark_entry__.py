@@ -167,6 +167,35 @@ def _wrap_structured(documents: DataFrame) -> DataFrame:
     )
 
 
+_MD_TAIL = " Star *alpha beta* plus [bracket] and 5 * 6 _under_ tail"
+_MD_TAIL_GFM = r" Star *alpha beta* plus \[bracket\] and 5 \* 6 _under_ tail"
+_MD_TABLE = ("<table><tr><th>Name</th><th>Value</th></tr>"
+             "<tr><td>a|b</td><td>x_y</td></tr></table>")
+_MD_TABLE_GFM = "| Name | Value |\n| --- | --- |\n| a\\|b | x_y |"
+
+
+def _wrap_mdesc(documents: DataFrame) -> DataFrame:
+    """Template E: the structured template plus markdown-special characters
+    in the paragraph and a pipe-bearing table cell, so the GFM walker's
+    position-aware escaping (functions/markdown.py: matched emphasis pairs
+    survive, stray * [ ] escape, table pipes escape) is pinned by the
+    driver, not just the spike mirrors."""
+    i = _id_str()
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(" - Escape Site</title></head><body><article><h2>Section "),
+        i,
+        F.lit("</h2><p>"), F.col("text"),
+        F.lit(_MD_TAIL + "</p>" + _MD_TABLE + "</article></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://esc.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
 def _wrap_images(documents: DataFrame) -> DataFrame:
     """Template I: figure+figcaption+plain img with og:image hero match
     (reference extract.rs:3352-3565 semantics)."""
@@ -932,6 +961,17 @@ def q_extract_structured(spark, sf_dir):
     return out.select("url", "content_html", "content_markdown")
 
 
+def q_markdown_escapes(spark, sf_dir):
+    """GFM escaping pinned end-to-end: matched emphasis pairs survive,
+    stray markdown specials escape, and html_table_to_markdown-style pipe
+    escaping applies inside table cells."""
+    from rs_trafilatura_spark.options import Options
+
+    out = _run_kernel(spark, _wrap_mdesc(_docs(spark, sf_dir)),
+                      Options(output_markdown=True))
+    return out.select("url", "content_html", "content_markdown")
+
+
 def q_extract_images(spark, sf_dir):
     """Image extraction surface (extract.rs:3352-3565 semantics): figure
     caption pairing, filename derivation, og:image hero match; one output
@@ -1031,6 +1071,117 @@ def _span_cols(out, n: int):
             (s.getField("end") - s.getField("start")).alias(f"s{k}_len"),
         ]
     return cols
+
+
+_ZH_HOSTS = 37  # tail hosts; even doc_ids all land on h0 (~50% of pages)
+
+
+def _zipf_host():
+    """Deterministic zipf-ish host: half the corpus on one hot host, the
+    rest spread over _ZH_HOSTS tails — the skew shape salting exists for."""
+    hid = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(
+        F.col("doc_id") % _ZH_HOSTS
+    )
+    return F.concat(F.lit("h"), hid.cast("string"), F.lit(".example"))
+
+
+def _wrap_hosted(documents: DataFrame) -> DataFrame:
+    """Template H: the roundtrip article page, but URLs keyed by the
+    zipfian host — input for the salted host-keyed aggregation path."""
+    i = _id_str()
+    html = F.concat(
+        F.lit(_RT_P1), F.col("lang"),
+        F.lit(_RT_P3), i,
+        F.lit(_RT_P5 + "<p>"),
+        F.col("text"),
+        F.lit(_RT_P7),
+    )
+    return documents.select(
+        F.concat(F.lit("https://"), _zipf_host(), F.lit("/blog/doc-"), i)
+        .alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def q_host_stats_salted(spark, sf_dir):
+    """The documented zipfian-host answer (plans/job.py::salted_host,
+    PLANS.md §4) under the oracle: extraction -> per-(host, salt) partial
+    aggregation -> per-host final combine.  The hot host's rows spread over
+    SALT buckets in the first (wide) aggregation, so no task ever sees the
+    whole hot host; the second aggregation combines one row per (host,
+    salt).  Values are exact integers (count + summed text length), so the
+    two-stage plan must agree with DuckDB's flat GROUP BY."""
+    from rs_trafilatura_spark.plans.job import salted_host
+
+    out = _run_kernel(spark, _wrap_hosted(_docs(spark, sf_dir)))
+    host = F.substring_index(F.substring_index("url", "/", 3), "/", -1)
+    partial = (
+        out.groupBy(salted_host(host, F.col("url"), 8).alias("_hs"))
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.length("content_text")).alias("_len"),
+        )
+    )
+    return (
+        partial.groupBy(
+            F.substring_index("_hs", "#", 1).alias("host")
+        )
+        .agg(
+            F.sum("_n").cast("long").alias("n_pages"),
+            F.sum("_len").cast("long").alias("sum_len"),
+        )
+    )
+
+
+_SG_MOD = 8          # doc_id % _SG_MOD == 3 picks a deterministic handful
+_SG_BODY_CHARS = 1_050_000   # body text over the 1 MB prune-skip guard
+_SG_MAX_LEN = 100_000        # Options.max_extracted_len for the query
+
+
+def _wrap_size_guards(documents: DataFrame) -> DataFrame:
+    """Template G: multi-MB article pages exercising the size-guard ladder
+    (cleaning.py MAX_PRUNE_DOCUMENT_SIZE skip; extract.py max_extracted_len
+    truncation + exact reference warning, extract.rs:1113-1120; the
+    reference's own 10 MB robustness gate is extract.rs:3901-3918).  Each
+    page repeats the document paragraph until body text exceeds 1 MB."""
+    i = _id_str()
+    reps = F.expr(
+        f"repeat('<p>' || text || '</p>', "
+        f"CAST(ceil({_SG_BODY_CHARS} / length(text)) AS INT))"
+    )
+    html = F.concat(
+        F.lit('<!doctype html><html lang="en"><head><title>Doc '), i,
+        F.lit(" - Big Site</title></head><body><article>"), reps,
+        F.lit("</article></body></html>"),
+    )
+    return documents.select(
+        F.concat(F.lit("https://big.example/blog/doc-"), i).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def q_extract_size_guards(spark, sf_dir):
+    """Size-guard ladder end-to-end: >1 MB body (prune skip), truncation to
+    max_extracted_len with the exact reference warning, and the truncated
+    text itself hash-pinned (substr arithmetic in the oracle)."""
+    from rs_trafilatura_spark.options import Options
+
+    docs = _pp_docs(spark, sf_dir).filter(
+        F.col("doc_id") % _SG_MOD == F.lit(3)
+    )
+    out = _run_kernel(spark, _wrap_size_guards(docs),
+                      Options(max_extracted_len=_SG_MAX_LEN))
+    return out.select(
+        "url", "stage",
+        F.length("content_text").cast("long").alias("content_len"),
+        F.col("content_text").alias("text"),
+        F.size("warnings").cast("long").alias("n_warnings"),
+        F.element_at("warnings", 1).alias("warning"),
+    )
 
 
 def q_extract_merge(spark, sf_dir):
@@ -1285,10 +1436,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_roundtrip": q_pdf_roundtrip,
         "page_type_features": q_page_type_features,
         "extract_structured": q_extract_structured,
+        "markdown_escapes": q_markdown_escapes,
         "extract_images": q_extract_images,
         "extract_comments": q_extract_comments,
         "page_type_predict": q_page_type_predict,
         "extract_fallback_spans": q_extract_fallback_spans,
+        "extract_size_guards": q_extract_size_guards,
+        "host_stats_salted": q_host_stats_salted,
         "extract_merge": q_extract_merge,
         "extract_repeated_items": q_extract_repeated_items,
         "extract_jsonld_product": q_extract_jsonld_product,
@@ -1732,6 +1886,16 @@ def oracle_sql() -> dict[str, str]:
             "chr(10) || chr(10) || '- Alpha note ' || doc_id || chr(10) || "
             "'- Beta note ' || doc_id AS content_markdown FROM documents"
         ),
+        "markdown_escapes": (
+            "SELECT 'https://esc.example/blog/doc-' || doc_id AS url, "
+            f"'<h2>Section ' || doc_id || '</h2><p>' || text || "
+            f"'{_MD_TAIL}</p>{_MD_TABLE}' AS content_html, "
+            "'## Section ' || doc_id || chr(10) || chr(10) || text || "
+            f"'{_MD_TAIL_GFM}' || "
+            "chr(10) || chr(10) || "
+            f"'{_MD_TABLE_GFM}' "
+            "AS content_markdown FROM documents"
+        ),
         "extract_images": (
             "SELECT 'https://www.imgsite.example/blog/doc-' || doc_id AS url, "
             "CAST(0 AS BIGINT) AS img_idx, "
@@ -1786,6 +1950,25 @@ def oracle_sql() -> dict[str, str]:
         # arithmetic over the page layout the _wrap_* builders emit
         # (L = length(text), D = length(doc_id); constants baked at
         # import time from the same template strings Spark uses)
+        "host_stats_salted": (
+            "SELECT 'h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0 "
+            f"ELSE doc_id % {_ZH_HOSTS} END AS VARCHAR) || '.example' "
+            "AS host, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            "CAST(SUM(length(text)) AS BIGINT) AS sum_len "
+            "FROM documents GROUP BY 1"
+        ),
+        "extract_size_guards": (
+            "SELECT 'https://big.example/blog/doc-' || doc_id AS url, "
+            "'main' AS stage, "
+            f"CAST({_SG_MAX_LEN} AS BIGINT) AS content_len, "
+            "substr(text || repeat(chr(10) || chr(10) || text, "
+            f"CAST(ceil({_SG_BODY_CHARS} / length(text)) AS BIGINT) - 1), "
+            f"1, {_SG_MAX_LEN}) AS text, "
+            "CAST(1 AS BIGINT) AS n_warnings, "
+            f"'Content truncated to max length: {_SG_MAX_LEN}' AS warning "
+            f"FROM documents WHERE length(text) BETWEEN {_PP_LEN_MIN} AND "
+            f"{_PP_LEN_MAX} AND doc_id % {_SG_MOD} = 3"
+        ),
         "extract_merge": (
             "SELECT 'https://svc.example/about/team-' || doc_id AS url, "
             "'merge' AS stage, "
