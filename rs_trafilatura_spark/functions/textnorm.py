@@ -31,15 +31,28 @@ _SPACE_AFTER_NL = re.compile(r"\n ")
 
 
 def normalize_text_output(text: str) -> str:
-    """Regex fast path, equivalent to the reference's char-by-char
+    """str.replace fast path, equivalent to the reference's char-by-char
     pending-space machine (extract.rs:3081-3118) — property-tested against
-    ``normalize_text_output_reference`` below."""
+    ``normalize_text_output_reference`` below.
+
+    Equivalence notes: after the _WS_RUN pass every [ \\t] run is a single
+    space, so " <punct>"/" \\n"/"\\n " are the only pending-space shapes
+    left and each is a disjoint 2-char pattern — plain str.replace (one C
+    scan each) does what the old " (?=[\\n.,;:!?])" sub did without a
+    regex match attempt at every space in prose.  Line-edge whitespace is
+    then impossible except at the string edges (strip handles those), so
+    the old LINE_WHITESPACE pass is provably a no-op and is dropped."""
     s = text.replace("\r", "")
-    s = _WS_RUN.sub(" ", s)            # tabs/space runs -> one pending space
-    s = _SPACE_BEFORE.sub("", s)       # punctuation/newline attach left
-    s = _SPACE_AFTER_NL.sub("\n", s)   # pending space not emitted at line start
-    s = LINE_WHITESPACE.sub("", s)
-    s = MULTIPLE_NEWLINES.sub("\n\n", s)
+    if "\t" in s or "  " in s:
+        s = _WS_RUN.sub(" ", s)        # tabs/space runs -> one pending space
+    s = (
+        s.replace(" \n", "\n")         # pending space deleted by newline
+        .replace(" .", ".").replace(" ,", ",").replace(" ;", ";")
+        .replace(" :", ":").replace(" !", "!").replace(" ?", "?")
+        .replace("\n ", "\n")          # pending space not emitted at line start
+    )
+    if "\n\n\n" in s:
+        s = MULTIPLE_NEWLINES.sub("\n\n", s)
     return s.strip()
 
 
@@ -74,13 +87,11 @@ def normalize_text_output_reference(text: str) -> str:
 
 
 def clean_text(s: str) -> str:
-    """Collapse ALL whitespace to single spaces (single-line metadata)."""
-    s = s.strip()
-    if not s:
-        return ""
-    s = WHITESPACE_NORMALIZE.sub(" ", s)
-    s = MULTIPLE_NEWLINES.sub("\n\n", s)
-    return s.strip()
+    """Collapse ALL whitespace to single spaces (single-line metadata).
+    split/join is the same collapse (both use Unicode whitespace) at C
+    speed — the old WHITESPACE_NORMALIZE + MULTIPLE_NEWLINES sub pair
+    reduced to exactly this once every run becomes one space."""
+    return " ".join(s.split())
 
 
 def escape_html(s: str) -> str:
@@ -121,16 +132,13 @@ def titles_match(heading: str, page_title: str) -> bool:
     return False
 
 
+_SENT_RUNS = re.compile(r"[.!?]+")
+
+
 def count_sentences(text: str) -> int:
-    """Runs of sentence terminators count once (extract.rs:2270-2283)."""
-    count = 0
-    prev_term = False
-    for ch in text:
-        is_term = ch in ".!?"
-        if is_term and not prev_term:
-            count += 1
-        prev_term = is_term
-    return count
+    """Runs of sentence terminators count once (extract.rs:2270-2283);
+    one C-speed findall instead of a per-character Python loop."""
+    return len(_SENT_RUNS.findall(text))
 
 
 def count_words(text: str) -> int:

@@ -352,32 +352,104 @@ def score_content_node(el: Element, cleaned_text: str, text_len: int,
     return score
 
 
+_H_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+
+def _subtree_stats(body: Element) -> dict:
+    """One post-order pass computing, for EVERY element, the quantities
+    score_content_node reads with per-candidate subtree selects:
+    (text_content, p_count, substantive_p, h_count, link_text_len).  All
+    are additive over children (text_content(el) = el.text + sum(child +
+    child.tail)), so the pass is O(n) element visits + O(total_text *
+    depth) C-speed string copies — replacing the old O(candidates *
+    subtree) select storm, the known slow path on deeply nested pages."""
+    stats: dict = {}
+    stack: list = [(body, False)]
+    while stack:
+        el, done = stack.pop()
+        if not done:
+            stack.append((el, True))
+            for c in el.children:
+                stack.append((c, False))
+            continue
+        parts = [el.text] if el.text else []
+        p = sp = h = link = 0
+        for c in el.children:
+            ctext, cp, csp, ch, clink = stats[id(c)]
+            parts.append(ctext)
+            if c.tail:
+                parts.append(c.tail)
+            p += cp
+            sp += csp
+            h += ch
+            link += clink
+            ctag = c.tag
+            if ctag == "p":
+                p += 1
+                if len(clean_text(ctext)) >= 100:
+                    sp += 1
+            elif ctag in _H_TAGS:
+                h += 1
+            elif ctag == "a":
+                link += len(clean_text(ctext))
+        stats[id(el)] = ("".join(parts), p, sp, h, link)
+    return stats
+
+
+def _score_from_stats(el: Element, stat, depth: int) -> tuple[int, int]:
+    """score_content_node, computed from the precomputed subtree stats —
+    identical arithmetic and rounding, without the per-candidate selects.
+    Returns (score, text_len)."""
+    text, p_count, substantive_p, h_count, link_text_len = stat
+    cleaned = clean_text(text)
+    text_len = len(cleaned)
+    if text_len == 0:
+        return 0, 0
+    link_density = link_text_len / text_len
+
+    effective_len = min(text_len, 8000)
+    effective_sentences = min(count_sentences(cleaned), effective_len // 50)
+
+    score = effective_len
+    score += p_count * 200
+    score += h_count * 100
+    score += substantive_p * 300
+    score += effective_sentences * 50
+    score += depth * 10
+    score += int(class_score(el))
+
+    if link_density > 0.5:
+        score = int(score * (1.0 - link_density))
+    elif link_density > 0.25:
+        score = int(score * (1.0 - link_density * 0.5))
+    return score, text_len
+
+
 def find_heuristic_content_node(body: Element, opts: Options) -> Optional[Element]:
-    body_cleaned = clean_text(body.text_content())
-    body_text_len = len(body_cleaned)
+    stats = _subtree_stats(body)
+    body_text_len = len(clean_text(stats[id(body)][0]))
     allow_body = 0 < body_text_len <= 500 and opts.target_language is None
 
     best_score = 0
     best: Optional[Element] = None
     if allow_body:
-        best_score = score_content_node(body, body_cleaned, body_text_len, 0)
+        best_score, _ = _score_from_stats(body, stats[id(body)], 0)
         best = body
 
-    for el in body.iterdesc():
+    # pre-order walk tracking depth inline (distance to body), same
+    # candidate order as before so score ties resolve identically
+    stack: list = [(c, 0) for c in reversed(body.children)]
+    while stack:
+        el, depth = stack.pop()
+        for c in reversed(el.children):
+            stack.append((c, depth + 1))
         if el.tag not in ("div", "section", "article", "main"):
             continue
         if is_boilerplate(el.get("class")) or is_boilerplate(el.get("id")):
             continue
-        cleaned = clean_text(el.text_content())
-        text_len = len(cleaned)
+        score, text_len = _score_from_stats(el, stats[id(el)], depth)
         if text_len == 0:
             continue
-        depth = 0
-        cur = el.parent
-        while cur is not None and cur.tag != "body":
-            depth += 1
-            cur = cur.parent
-        score = score_content_node(el, cleaned, text_len, depth)
         if score > best_score:
             best_score = score
             best = el
@@ -390,7 +462,7 @@ def find_heuristic_content_node(body: Element, opts: Options) -> Optional[Elemen
         min_score = 1000
 
     if best_score >= min_score and best is not None:
-        best_len = len(clean_text(best.text_content()))
+        best_len = len(clean_text(stats[id(best)][0]))
         coverage = best_len / body_text_len if body_text_len > 0 else 1.0
         if coverage < 0.3:
             return None
