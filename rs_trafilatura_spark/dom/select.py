@@ -68,7 +68,14 @@ class _Compound:
                 self.preds.append(lambda el, i=ident: el.attrib.get("id") == i)
             elif pm.group(2):
                 cls = pm.group(2)
-                self.preds.append(lambda el, c=cls: c in el.classes)
+                # substring pre-filter: token membership implies substring,
+                # so the (allocating) split only runs on candidate hits
+                self.preds.append(
+                    lambda el, c=cls: (
+                        (a := el.attrib.get("class")) is not None
+                        and c in a and c in a.split()
+                    )
+                )
             elif pm.group(3):
                 self.preds.append(_parse_attr(pm.group(3)))
 

@@ -107,15 +107,36 @@ def doc_cleaning(body: Element, opts: Options,
             if el.parent is not None:
                 el.drop_tree()
 
+    # 2-4 share one collection walk (figure rename, noscript salvage,
+    # contextual footer removal); processing stays in the original pass
+    # order, and none of the passes can detach another pass's nodes
+    # beyond what the original per-pass selects saw (rename keeps the
+    # node, unwrap keeps children attached).
+    figures: list[Element] = []
+    noscripts: list[Element] = []
+    footers: list[Element] = []
+    for el in body.iterdesc():
+        t = el.tag
+        if t == "figure":
+            figures.append(el)
+        elif t == "noscript":
+            noscripts.append(el)
+        elif t == "footer":
+            footers.append(el)
+
     # 2. figure wrapping table/blockquote -> div (content container)
-    for figure in select(body, "figure"):
-        has_table = opts.include_tables and bool(select(figure, "table"))
-        has_bq = bool(select(figure, "blockquote"))
-        if has_table or has_bq:
+    for figure in figures:
+        has_table = has_bq = False
+        for d in figure.iterdesc():
+            if d.tag == "table":
+                has_table = True
+            elif d.tag == "blockquote":
+                has_bq = True
+        if (opts.include_tables and has_table) or has_bq:
             figure.rename("div")
 
     # 3. noscript salvage
-    for noscript in select(body, "noscript"):
+    for noscript in noscripts:
         text = noscript.text_content()
         low = text.lower()
         if len(text.strip()) > _NOSCRIPT_CONTENT_THRESHOLD and not any(
@@ -124,7 +145,7 @@ def doc_cleaning(body: Element, opts: Options,
             noscript.unwrap()
 
     # 4. contextual footer removal
-    for footer in select(body, "footer"):
+    for footer in footers:
         if footer.parent is not None and not _inside_article_or_main(footer):
             footer.drop_tree()
 

@@ -245,23 +245,78 @@ _WRAPPER_BOILERPLATE_SELECTOR = (
 )
 
 
+_NESTED_CLASS_SUBSTRINGS = (
+    "content_main", "content-main", "article-content", "article_content",
+    "post-content", "post_content", "story-content", "blogInner__content",
+    "blog-content", "blog_content", "blogContent", "entry-content",
+)
+_WRAPPER_BP_SUBSTRINGS = (
+    "sidebar", "social", "share-", "-share", "author-", "sticky-",
+    "toc-", "-toc", "related-", "widget",
+)
+_ARTICLE_CONTENT_CLASS_SUBSTRINGS = (
+    "content_main", "content-main", "article-body", "article-content",
+    "entry-content", "post-content",
+)
+
+
+class _RuleFacts:
+    """One subtree walk computing every fact the find_content rule checks
+    used to gather with separate selects (articles, nested-content
+    elements, aside/nav and wrapper-boilerplate presence, content-classed
+    nested articles) — same document order, same substring semantics."""
+
+    __slots__ = ("articles", "nested", "has_aside_nav", "has_wrapper_bp",
+                 "has_content_classed_article")
+
+    def __init__(self, el: Element):
+        articles: list[Element] = []
+        nested: list[Element] = []
+        self.has_aside_nav = False
+        self.has_wrapper_bp = False
+        self.has_content_classed_article = False
+        for d in el.iterdesc():
+            t = d.tag
+            cls = d.attrib.get("class")
+            if t == "article":
+                articles.append(d)
+                if cls and any(
+                    p in cls for p in _ARTICLE_CONTENT_CLASS_SUBSTRINGS
+                ):
+                    self.has_content_classed_article = True
+            elif t in ("aside", "nav"):
+                self.has_aside_nav = True
+            if (cls and any(p in cls for p in _NESTED_CLASS_SUBSTRINGS)) or \
+                    d.attrib.get("itemprop") == "articleBody":
+                nested.append(d)
+            if not self.has_wrapper_bp and cls and any(
+                p in cls for p in _WRAPPER_BP_SUBSTRINGS
+            ):
+                self.has_wrapper_bp = True
+        self.articles = articles
+        self.nested = nested
+
+    def contains_boilerplate_child(self) -> bool:
+        return self.has_aside_nav or self.has_wrapper_bp
+
+    def has_nested_content_element(self) -> bool:
+        if len(self.articles) > 1:
+            return any(
+                len(a.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
+                for a in self.articles
+            )
+        return any(
+            len(m.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
+            for m in self.nested
+        )
+
+
 def _contains_boilerplate_child(el: Element) -> bool:
-    if select(el, "aside, nav"):
-        return True
-    return bool(select(el, _WRAPPER_BOILERPLATE_SELECTOR))
+    return _RuleFacts(el).contains_boilerplate_child()
 
 
 def _has_nested_content_element(el: Element) -> bool:
-    nested_articles = select(el, "article")
-    if len(nested_articles) > 1:
-        return any(
-            len(a.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
-            for a in nested_articles
-        )
-    return any(
-        len(m.text_content().strip()) >= MIN_CONTENT_TEXT_LEN
-        for m in select(el, _NESTED_CONTENT_SELECTOR)
-    )
+    return _RuleFacts(el).has_nested_content_element()
 
 
 def find_content(body: Element) -> Optional[Element]:
@@ -274,17 +329,13 @@ def find_content(body: Element) -> Optional[Element]:
                 continue
             if _is_inside_boilerplate(el, boilerplate_ids):
                 continue
-            has_nested = _has_nested_content_element(el)
+            facts = _RuleFacts(el)
+            has_nested = facts.has_nested_content_element()
             if el.tag in ("div", "section"):
-                if has_nested and _contains_boilerplate_child(el):
+                if has_nested and facts.contains_boilerplate_child():
                     continue
             if el.tag == "article" and not el.get("class") and has_nested:
-                if select(
-                    el,
-                    "article[class*='content_main'], article[class*='content-main'], "
-                    "article[class*='article-body'], article[class*='article-content'], "
-                    "article[class*='entry-content'], article[class*='post-content']",
-                ):
+                if facts.has_content_classed_article:
                     continue
             text_len = len(el.text_content().strip())
             if text_len < MIN_CONTENT_TEXT_LEN:
@@ -554,19 +605,18 @@ def find_main_content_node(body: Element, opts: Options,
     """Full selection cascade (extract.rs:1831-1897)."""
     target = opts.target_language
     if profile_selectors:
-        # one walk bucketing matches per selector, then the original
-        # priority order (selector index first, document order within) —
-        # identical outcome to probing each selector separately
-        from ..dom.select import matches as _sel_matches
+        # probe each selector in priority order through iter_select's
+        # compiled fast paths with an early exit — the first (selector
+        # index, document order) element with real text wins.  An element
+        # matching several selectors is only ever RETURNED from the
+        # highest-priority one, and an element failing the text check
+        # fails it for every selector, so this is outcome-identical to
+        # the old every-element x every-selector matches() walk at a
+        # fraction of the per-element dispatch cost.
+        from ..dom.select import iter_select as _iter_sel
 
-        buckets: list[list] = [[] for _ in profile_selectors]
-        for el in body.iterdesc():
-            for i, sel_str in enumerate(profile_selectors):
-                if _sel_matches(el, sel_str):
-                    buckets[i].append(el)
-                    break
-        for bucket in buckets:
-            for el in bucket:
+        for sel_str in profile_selectors:
+            for el in _iter_sel(body, sel_str):
                 if len(el.text_content().strip()) > 100:
                     return el
     content = find_content(body)

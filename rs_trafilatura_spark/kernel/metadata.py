@@ -403,12 +403,29 @@ def _categories_from_dom(doc: Document, meta: dict) -> None:
 
 def _license_from_dom(doc: Document, meta: dict,
                       idx: dict | None = None) -> None:
-    """Footer CC mentions + rel=license links (dom_extraction.rs:519-563)."""
+    """Footer CC mentions + rel=license links (dom_extraction.rs:519-563).
+    One tree walk buckets the five selector families (tag footer, class
+    token footer, id footer, class substrings license/copyright) in
+    document order; buckets are then probed in the original selector
+    priority, which is outcome-identical to five separate selects."""
     if meta.get("license"):
         return
-    for sel_str in ("footer", ".footer", "#footer", "[class*='license']",
-                    "[class*='copyright']"):
-        for el in select(doc.root, sel_str):
+    buckets: list[list] = [[], [], [], [], []]
+    for el in doc.root.iterdesc():
+        cls = el.get("class")
+        if el.tag == "footer":
+            buckets[0].append(el)
+        if cls:
+            if "footer" in cls.split():
+                buckets[1].append(el)
+            if "license" in cls:
+                buckets[3].append(el)
+            if "copyright" in cls:
+                buckets[4].append(el)
+        if el.get("id") == "footer":
+            buckets[2].append(el)
+    for bucket in buckets:
+        for el in bucket:
             m = _CC_HREF_RE.search(el.text_content())
             if m:
                 meta["license"] = f"CC {m.group(1).upper()}"
