@@ -616,6 +616,34 @@ def q_extract_roundtrip(spark, sf_dir):
     )
 
 
+def q_extract_fastscan(spark, sf_dir):
+    """The python-side parquet scan (sources/fastscan.py) end-to-end:
+    the roundtrip pages are materialized as a parquet table, then read
+    and extracted INSIDE the workers (pyarrow scan, no JVM->Python HTML
+    hop).  Same oracle as extract_roundtrip — the source must be
+    invisible in the results."""
+    import hashlib
+
+    from rs_trafilatura_spark.sources import extract_from_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/rs_traf_fastscan_oracle_{tag}"
+    _wrap_roundtrip(_docs(spark, sf_dir)).write.mode("overwrite").parquet(path)
+    _ensure_pyfiles(spark)
+    out = extract_from_parquet(spark, path)
+    first = F.element_at("spans", 1)
+    return out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        F.col("language").alias("lang"),
+        F.col("title").alias("title"),
+        F.size("spans").cast("long").alias("n_spans"),
+        first.getField("kind").alias("span_kind"),
+        first.getField("start").alias("span_start"),
+        (first.getField("end") - first.getField("start")).alias("span_len"),
+    )
+
+
 def q_extract_metadata(spark, sf_dir):
     out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
     return out.select(
@@ -1409,6 +1437,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": q_extract_roundtrip,
+        "extract_fastscan": q_extract_fastscan,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
         "extract_stage_metrics": q_extract_stage_metrics,
@@ -1730,6 +1759,16 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "extract_roundtrip": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "text, lang, 'Doc ' || doc_id AS title, "
+            "CAST(1 AS BIGINT) AS n_spans, 'p' AS span_kind, "
+            f"CAST({len(_RT_P1) + len(_RT_P3) + len(_RT_P5)} + length(lang) "
+            "+ length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS span_start, "
+            "CAST(length(text) + 3 AS BIGINT) AS span_len FROM documents"
+        ),
+        # same pages, same expected rows — only the SOURCE differs (python-
+        # side pyarrow scan), which must be invisible in the results
+        "extract_fastscan": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
             "text, lang, 'Doc ' || doc_id AS title, "
             "CAST(1 AS BIGINT) AS n_spans, 'p' AS span_kind, "

@@ -115,6 +115,19 @@ def main() -> None:
         run_extraction(spark, large, opts).groupBy("stage").count().collect()
         t_large = min(t_large, time.time() - t0)
     timings["extract_large_pages"] = round(t_large, 3)
+
+    # same corpus through the python-side parquet scan (sources/fastscan.py):
+    # HTML bytes move disk -> extracting worker directly, skipping the
+    # JVM scan + JVM->Python Arrow hop entirely
+    from rs_trafilatura_spark.sources import extract_from_parquet
+
+    t_fast = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        extract_from_parquet(spark, large_corpus, opts) \
+            .groupBy("stage").count().collect()
+        t_fast = min(t_fast, time.time() - t0)
+    timings["extract_large_fastscan"] = round(t_fast, 3)
     spark.conf.set("spark.sql.files.maxPartitionBytes", MAX_PARTITION_BYTES)
     spark.conf.unset("spark.sql.files.openCostInBytes")
 
@@ -153,6 +166,22 @@ def main() -> None:
     lsh_near_dup_pairs(skewed, 800).select(F.count(F.lit(1))).collect()
     timings["near_dup_lsh_skewed"] = round(time.time() - t0, 3)
 
+    # scale-step the curation pipeline (VERDICT r3 #5): the full composed
+    # curate -> near-dup -> report plan over the 100k-page bench corpus —
+    # ~1000x the driver-oracle row's input.  Proves the persist-before-
+    # fan-out fix holds at scale: the kernel runs ONCE (the persist), not
+    # once per report branch.
+    from rs_trafilatura_spark.plans.curate import (
+        curate_pages, curation_report, mark_near_duplicates, release_cache,
+    )
+
+    t0 = time.time()
+    curated = curate_pages(spark, pages, opts)
+    marked = mark_near_duplicates(curated)
+    curation_report(marked).collect()
+    timings["curation_100k"] = round(time.time() - t0, 3)
+    release_cache()
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "extraction+operators wall time",
@@ -165,6 +194,7 @@ def main() -> None:
         "large_pages": n_large,
         "large_avg_kb": round(large_bytes / n_large / 1024, 1),
         "large_mb_per_sec": round(large_bytes / t_large / 1e6, 2),
+        "fastscan_mb_per_sec": round(large_bytes / t_fast / 1e6, 2),
         "cpus": CPUS,
     }))
     spark.stop()

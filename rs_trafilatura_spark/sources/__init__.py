@@ -6,6 +6,8 @@ from .checkpoint import (
     run_extraction_checkpointed,
 )
 
+from .fastscan import extract_from_parquet
+
 from .tables import (
     detect_format,
     iceberg_available,
@@ -15,5 +17,6 @@ from .tables import (
 
 __all__ = [
     "completed_chunks", "read_output", "run_extraction_checkpointed",
+    "extract_from_parquet",
     "detect_format", "iceberg_available", "read_pages", "write_output",
 ]
