@@ -782,6 +782,18 @@ def q_simhash_near_dups(spark, sf_dir):
     return simhash_near_dups(_docs(spark, sf_dir))
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup CLUSTER resolution: LSH-verified pairs ->
+    alternating large-star/small-star connected components -> canonical
+    survivor per cluster.  Oracle = recursive-CTE label propagation over
+    the all-pairs exact shingle-Jaccard graph (recall-1.0 argument as in
+    minhash_lsh_pairs)."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(_docs(spark, sf_dir), threshold_x1000=800)
+
+
 def _query_vec(spark, sf_dir):
     row = (
         _embs(spark, sf_dir).filter(F.col("vec_id") == 0)
@@ -1453,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
+        "near_dup_clusters": q_near_dup_clusters,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2117,6 +2130,26 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) >= 800"
         ),
         "simhash_near_dups": _simhash_pairs_sql(3),
+        "near_dup_clusters": (
+            # recursive-CTE min-label propagation over the exact all-pairs
+            # Jaccard >= 800 graph: each node's cluster_id is the smallest
+            # doc_id reachable through near-dup edges (the Spark side must
+            # find the same components via LSH pairs + alternating-star CC)
+            "WITH RECURSIVE " + _SHINGLES_CTE[len("WITH "):] + ", "
+            "pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) / "
+            "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))) "
+            "AS BIGINT) >= 800), "
+            "edges AS (SELECT a_id AS u, b_id AS v FROM pairs "
+            "UNION SELECT b_id, a_id FROM pairs), "
+            "reach(node, lbl) AS ("
+            "SELECT u, u FROM edges "
+            "UNION "
+            "SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node) "
+            "SELECT node AS doc_id, min(lbl) AS cluster_id, "
+            "(node = min(lbl)) AS keep FROM reach GROUP BY node"
+        ),
         "sessionize_events": (
             "WITH flagged AS ("
             "SELECT user_id, event_id, ts, value, "

@@ -341,3 +341,55 @@ def test_pdf_tj_array_and_octal():
            + str(len(data)).encode() + b" >>\nstream\n" + data
            + b"\nendstream\nendobj\n%%EOF\n")
     assert extract_pdf_text(pdf) == "Hello world\nHi!"
+
+
+# --- connected components / cluster resolution -----------------------------------
+
+
+def test_connected_components_basic(spark):
+    from rs_trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (11, 10), (20, 21), (4, 3), (1, 2)],
+        ["a_id", "b_id"],
+    )
+    got = sorted((r["node"], r["component"])
+                 for r in connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)]
+
+
+def test_connected_components_long_path(spark):
+    # a path graph maximizes alternating-star rounds (diameter -> log rounds)
+    from rs_trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  ["a_id", "b_id"])
+    got = {(r["node"], r["component"])
+           for r in connected_components(pairs).collect()}
+    assert got == {(i, 0) for i in range(41)}
+
+
+def test_connected_components_self_loops_and_dups(spark):
+    from rs_trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (7, 8), (8, 7), (7, 8)], ["a_id", "b_id"])
+    got = sorted((r["node"], r["component"])
+                 for r in connected_components(pairs).collect())
+    # the self-loop contributes no node; dup/reversed edges collapse
+    assert got == [(7, 7), (8, 7)]
+
+
+def test_near_dup_clusters_end_to_end(spark, docs):
+    from rs_trafilatura_spark.operators.dedup import near_dup_clusters
+
+    # one swapped word in 12 -> 3 of 10 shingles differ: jaccard ~= 538
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in near_dup_clusters(docs, threshold_x1000=500).collect()}
+    # docs 0,1 exact dups and 2 a near dup -> one cluster rooted at 0
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    # unrelated docs 3,4 never enter the pair list
+    assert 3 not in out and 4 not in out
