@@ -794,6 +794,16 @@ def q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(_docs(spark, sf_dir), threshold_x1000=800)
 
 
+def q_pack_shards(spark, sf_dir):
+    """Token-budget training-shard assignment via a distributed prefix sum
+    (bucketed cumsum + O(n/width) driver offsets — no global single-task
+    window).  Oracle = the plain global window cumsum in DuckDB."""
+    from rs_trafilatura_spark.operators.packing import pack_shards
+
+    return pack_shards(_docs(spark, sf_dir), budget_tokens=2000,
+                       bucket_width=64)
+
+
 def _query_vec(spark, sf_dir):
     row = (
         _embs(spark, sf_dir).filter(F.col("vec_id") == 0)
@@ -1466,6 +1476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
+        "pack_shards": q_pack_shards,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2130,6 +2141,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) >= 800"
         ),
         "simhash_near_dups": _simhash_pairs_sql(3),
+        "pack_shards": (
+            # the oracle is the naive GLOBAL window cumsum duckdb can afford
+            # at sf0.01; the Spark side must reproduce it with the bucketed
+            # distributed prefix sum (no single-task global window)
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
+            "FROM c"
+        ),
         "near_dup_clusters": (
             # recursive-CTE min-label propagation over the exact all-pairs
             # Jaccard >= 800 graph: each node's cluster_id is the smallest

@@ -1,0 +1,84 @@
+"""Training-shard packing: assign documents to fixed-token-budget output
+shards in a deterministic global order.
+
+The training-data endgame of the pipeline (SURVEY.md §2 "LLM-data
+operators"): after curation, documents are written out as shards of
+~budget tokens each so downstream tokenization/packing jobs read
+uniformly-sized inputs.  Shard assignment needs a GLOBAL running token
+total — the textbook scale trap, because a single `Window.orderBy(...)`
+with no partition key collapses the whole corpus onto one task.
+
+This implementation is a distributed prefix sum instead:
+
+1. bucket documents by range of the order key (`floor(order / width)`),
+2. aggregate per-bucket token totals — one map-side-combined shuffle of
+   (bucket, sum) pairs,
+3. collect ONLY the bucket totals to the driver (O(n / width) rows — with
+   width 2^20 a 10^12-document corpus collects ~10^6 longs), compute the
+   exclusive running offsets, broadcast them back,
+4. a within-bucket window cumsum (partitioned — parallel) plus the
+   broadcast offset gives the exact global running total.
+
+shard_id = floor((global_cum - n_tokens) / budget): a document belongs to
+the shard where its first token lands; shard boundaries may straddle a
+document, which matches greedy concat-and-chunk training pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
+                order_col: str = "doc_id",
+                bucket_width: int = 1 << 20) -> DataFrame:
+    """(doc_id, n_tokens, shard_id) for every document; deterministic in
+    ``order_col``.  Token count = whitespace tokens (swap in
+    ``bpe_token_stats``'s regex for BPE-ish budgets)."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(order_col).alias("_ord"),
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
+    )
+
+    totals = sorted(
+        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row["_bucket"], running))
+        running += row["_t"]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_offset") + F.sum("n_tokens").over(w)
+    return (
+        toks.join(F.broadcast(off_df), "_bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor((cum - F.col("n_tokens")) / budget_tokens)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+def shard_manifest(assignments: DataFrame) -> DataFrame:
+    """Aggregate a pack_shards result into a per-shard manifest —
+    the writer's work list: (shard_id, n_docs, n_tokens)."""
+    return assignments.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )

@@ -393,3 +393,44 @@ def test_near_dup_clusters_end_to_end(spark, docs):
     assert out[2] == (0, False)
     # unrelated docs 3,4 never enter the pair list
     assert 3 not in out and 4 not in out
+
+
+# --- shard packing ---------------------------------------------------------------
+
+
+def test_pack_shards_matches_naive_cumsum(spark):
+    from rs_trafilatura_spark.operators.packing import pack_shards
+
+    rows = [(i, " ".join(["w"] * (10 + (i * 7) % 23))) for i in range(100)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: (r["n_tokens"], r["shard_id"])
+           for r in pack_shards(docs, budget_tokens=100,
+                                bucket_width=8).collect()}
+    cum = 0
+    for i in range(100):
+        n = 10 + (i * 7) % 23
+        assert out[i] == (n, cum // 100), (i, out[i], (n, cum // 100))
+        cum += n
+
+
+def test_pack_shards_bucket_width_invariance(spark):
+    # the distributed prefix sum must be invariant to how it is bucketed
+    from rs_trafilatura_spark.operators.packing import pack_shards
+
+    rows = [(i * 3, " ".join(["tok"] * (5 + i % 11))) for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, pack_shards(docs, 50, bucket_width=4).collect()))
+    b = sorted(map(tuple, pack_shards(docs, 50, bucket_width=1000).collect()))
+    assert a == b
+
+
+def test_shard_manifest_totals(spark):
+    from rs_trafilatura_spark.operators.packing import pack_shards, shard_manifest
+
+    rows = [(i, " ".join(["x"] * 30)) for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    man = {r["shard_id"]: (r["n_docs"], r["shard_tokens"])
+           for r in shard_manifest(pack_shards(docs, 90, bucket_width=7)).collect()}
+    # 30 tokens/doc, budget 90 -> 3 docs per shard
+    assert all(v == (3, 90) for k, v in man.items() if k < 6)
+    assert sum(v[0] for v in man.values()) == 20
