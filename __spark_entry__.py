@@ -644,6 +644,34 @@ def q_extract_fastscan(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """The Common-Crawl ingestion path end-to-end: the roundtrip pages are
+    serialized to per-record-gzipped .warc.gz archives (deterministic
+    sink), then parsed AND extracted in one mapInArrow stage
+    (sources/warc.py).  Same oracle as extract_roundtrip — the archive
+    hop must be invisible in the results."""
+    import hashlib
+
+    from rs_trafilatura_spark.sources.warc import extract_from_warc, write_warc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/rs_traf_warc_oracle_{tag}"
+    _ensure_pyfiles(spark)
+    write_warc(_wrap_roundtrip(_docs(spark, sf_dir)), path, n_files=8).count()
+    out = extract_from_warc(spark, path)
+    first = F.element_at("spans", 1)
+    return out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        F.col("language").alias("lang"),
+        F.col("title").alias("title"),
+        F.size("spans").cast("long").alias("n_spans"),
+        first.getField("kind").alias("span_kind"),
+        first.getField("start").alias("span_start"),
+        (first.getField("end") - first.getField("start")).alias("span_len"),
+    )
+
+
 def q_extract_metadata(spark, sf_dir):
     out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
     return out.select(
@@ -1460,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_fastscan": q_extract_fastscan,
+        "warc_roundtrip": q_warc_roundtrip,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
         "extract_stage_metrics": q_extract_stage_metrics,
@@ -1793,6 +1822,17 @@ def oracle_sql() -> dict[str, str]:
         # same pages, same expected rows — only the SOURCE differs (python-
         # side pyarrow scan), which must be invisible in the results
         "extract_fastscan": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "text, lang, 'Doc ' || doc_id AS title, "
+            "CAST(1 AS BIGINT) AS n_spans, 'p' AS span_kind, "
+            f"CAST({len(_RT_P1) + len(_RT_P3) + len(_RT_P5)} + length(lang) "
+            "+ length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS span_start, "
+            "CAST(length(text) + 3 AS BIGINT) AS span_len FROM documents"
+        ),
+        # same pages again through the .warc.gz archive hop — WARC
+        # serialization, per-record gzip, stream parse, and the fused
+        # parse+extract stage must all be invisible in the results
+        "warc_roundtrip": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
             "text, lang, 'Doc ' || doc_id AS title, "
             "CAST(1 AS BIGINT) AS n_spans, 'p' AS span_kind, "
