@@ -822,6 +822,105 @@ def q_near_dup_clusters(spark, sf_dir):
     return near_dup_clusters(_docs(spark, sf_dir), threshold_x1000=800)
 
 
+# suffix planted onto every document so the line-level rules (bullet,
+# ellipsis, terminal punctuation, short lines) all fire deterministically
+_QLINES = ("\n- bullet point item\nshort\nTrailing thought goes on..."
+           "\nThe final complete sentence with several words is right here.")
+
+
+def _multiline_docs(spark, sf_dir):
+    return _docs(spark, sf_dir).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_QLINES))
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Published Gopher corpus-quality rules (Rae et al. 2021 App. A1.1)
+    over multi-line text; oracle recomputes every integer-scaled signal
+    with DuckDB list/regex functions."""
+    from rs_trafilatura_spark.operators.textstats import gopher_quality
+
+    return gopher_quality(_multiline_docs(spark, sf_dir))
+
+
+def q_c4_lines(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): terminal-punct +
+    min-word line keep, blocklist page drop; the cleaned text itself is
+    hash-pinned."""
+    from rs_trafilatura_spark.operators.textstats import c4_line_filter
+
+    return c4_line_filter(_multiline_docs(spark, sf_dir))
+
+
+def q_per_host_quota(spark, sf_dir):
+    """Two-phase per-host page quota over the zipfian-host corpus (the hot
+    host holds ~half the docs): phase-1 (host,salt) ranks bound every
+    task at n rows per bucket, phase-2 ranks exactly — same rows as
+    DuckDB's flat row_number()."""
+    from rs_trafilatura_spark.operators.windows import capped_per_key
+
+    hosted = _docs(spark, sf_dir).select(
+        "doc_id", _zipf_host().alias("host")
+    )
+    return capped_per_key(hosted, "host", n=5,
+                          order_cols=("doc_id",)).select(
+        "host", F.col("rank").cast("long").alias("rank"), "doc_id"
+    )
+
+
+def _revisions(spark, sf_dir):
+    """Two crawl revisions of each of 250 urls: doc_id d is revision
+    d // 250 of url u{d % 250}, crawled at epoch+d, with revision-specific
+    bytes."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("https://rev.example/u"),
+                 (F.col("doc_id") % 250).cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.encode(F.concat(F.lit("rev"), (F.col("doc_id") / 250).cast("int")
+                          .cast("string"), F.lit(":"), F.col("text")),
+                 "utf-8").alias("html"),
+    )
+
+
+def q_latest_revision(spark, sf_dir):
+    """Authoritative-revision pick per url (newest warc_ts, digest
+    tiebreak): the recrawl dedupe every CC-style ingest needs."""
+    from rs_trafilatura_spark.operators.delta import latest_revision_per_url
+
+    out = latest_revision_per_url(_revisions(spark, sf_dir))
+    return out.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5(F.col("html").cast("binary")).alias("content_md5"),
+    )
+
+
+def q_crawl_delta(spark, sf_dir):
+    """Snapshot diff for incremental extraction: old crawl = docs 0-399,
+    new crawl = docs 100-499 with content edited in 200-299 -> removed /
+    unchanged / changed / added urls."""
+    from rs_trafilatura_spark.operators.delta import crawl_delta
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _synth_url().alias("url"), "text"
+    )
+    old = d.filter(F.col("doc_id") < 400).select(
+        "url", F.encode("text", "utf-8").alias("html")
+    )
+    new = d.filter(F.col("doc_id") >= 100).select(
+        "url",
+        F.encode(
+            F.when((F.col("doc_id") >= 200) & (F.col("doc_id") < 300),
+                   F.concat(F.lit("edited:"), F.col("text")))
+            .otherwise(F.col("text")),
+            "utf-8",
+        ).alias("html"),
+    )
+    return crawl_delta(new, old)
+
+
 def q_pack_shards(spark, sf_dir):
     """Token-budget training-shard assignment via a distributed prefix sum
     (bucketed cumsum + O(n/width) driver offsets — no global single-task
@@ -1506,6 +1605,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "pack_shards": q_pack_shards,
+        "gopher_quality": q_gopher_quality,
+        "c4_lines": q_c4_lines,
+        "per_host_quota": q_per_host_quota,
+        "latest_revision": q_latest_revision,
+        "crawl_delta": q_crawl_delta,
         "embedding_topk": q_embedding_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ivf_ann_topk": q_ivf_ann_topk,
@@ -2193,6 +2297,88 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
             "FROM c"
+        ),
+        "gopher_quality": (
+            # every Gopher signal recomputed with DuckDB list/regex
+            # functions over the same multi-line text
+            "WITH m AS (SELECT doc_id, text || '" + _QLINES + "' AS t "
+            "FROM documents), "
+            "sig AS (SELECT doc_id, "
+            "string_split(t, ' ') AS words, "
+            "string_split(t, chr(10)) AS lines, t FROM m), "
+            "calc AS (SELECT doc_id, "
+            "CAST(len(words) AS BIGINT) AS n_words, "
+            "CAST(floor(1000.0 * list_sum(list_transform(words, "
+            "w -> len(w))) / len(words)) AS BIGINT) AS mean_word_len_x1000, "
+            "CAST(floor(1000.0 * len(regexp_extract_all(t, '[#]|\\.\\.\\.'))"
+            " / len(words)) AS BIGINT) AS symbol_ratio_x1000, "
+            "CAST(floor(1000.0 * len(list_filter(lines, l -> "
+            "l LIKE '- %' OR l LIKE '* %' OR l LIKE '• %')) / len(lines)) "
+            "AS BIGINT) AS bullet_ratio_x1000, "
+            "CAST(floor(1000.0 * len(list_filter(lines, l -> "
+            "l LIKE '%...' OR l LIKE '%…')) / len(lines)) AS BIGINT) "
+            "AS ellipsis_ratio_x1000, "
+            "CAST(floor(1000.0 * len(list_filter(words, w -> "
+            "regexp_matches(w, '[A-Za-z]'))) / len(words)) AS BIGINT) "
+            "AS alpha_ratio_x1000, "
+            "CAST(len(list_filter(words, w -> w IN ('the','be','to','of',"
+            "'and','that','have','with'))) AS BIGINT) AS stop_hits FROM sig) "
+            "SELECT *, (n_words >= 50 AND n_words <= 100000 "
+            "AND mean_word_len_x1000 >= 3000 AND mean_word_len_x1000 <= 10000 "
+            "AND symbol_ratio_x1000 < 100 AND bullet_ratio_x1000 <= 900 "
+            "AND ellipsis_ratio_x1000 <= 300 AND alpha_ratio_x1000 >= 800 "
+            "AND stop_hits >= 2) AS gopher_pass FROM calc"
+        ),
+        "c4_lines": (
+            "WITH m AS (SELECT doc_id, text || '" + _QLINES + "' AS t "
+            "FROM documents), "
+            "k AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines, "
+            "list_filter(string_split(t, chr(10)), l -> "
+            "regexp_matches(l, '[.!?\"]$') "
+            "AND len(string_split(l, ' ')) >= 3) AS kept FROM m) "
+            "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+            "CAST(len(kept) AS BIGINT) AS n_kept_lines, "
+            "array_to_string(kept, chr(10)) AS clean_text, "
+            "(len(kept) >= 3 AND NOT (contains(lower(t), 'lorem ipsum') "
+            "OR contains(lower(t), '{') OR contains(lower(t), 'javascript')"
+            ")) AS page_kept FROM k"
+        ),
+        "per_host_quota": (
+            # flat row_number over the zipfian hosts — the Spark side must
+            # reproduce it with the two-phase salted rank
+            "WITH h AS (SELECT doc_id, 'h' || CAST(CASE WHEN doc_id % 2 = 0 "
+            "THEN 0 ELSE doc_id % 37 END AS VARCHAR) || '.example' AS host "
+            "FROM documents), "
+            "r AS (SELECT host, doc_id, row_number() OVER "
+            "(PARTITION BY host ORDER BY doc_id) AS rank FROM h) "
+            "SELECT host, CAST(rank AS BIGINT) AS rank, doc_id FROM r "
+            "WHERE rank <= 5"
+        ),
+        "latest_revision": (
+            "WITH p AS (SELECT 'https://rev.example/u' || "
+            "CAST(doc_id % 250 AS VARCHAR) AS url, "
+            "1767225600 + doc_id AS ts_epoch, "
+            "'rev' || CAST(CAST(floor(doc_id / 250.0) AS INT) AS VARCHAR) "
+            "|| ':' || text AS content FROM documents), "
+            "r AS (SELECT url, ts_epoch, md5(content) AS content_md5, "
+            "row_number() OVER (PARTITION BY url ORDER BY ts_epoch DESC, "
+            "md5(content)) AS rn FROM p) "
+            "SELECT url, CAST(ts_epoch AS BIGINT) AS ts_epoch, content_md5 "
+            "FROM r WHERE rn = 1"
+        ),
+        "crawl_delta": (
+            "WITH d AS (SELECT doc_id, "
+            "'https://docs.example/blog/doc-' || doc_id AS url, text "
+            "FROM documents), "
+            "o AS (SELECT url, md5(text) AS h FROM d WHERE doc_id < 400), "
+            "n AS (SELECT url, md5(CASE WHEN doc_id >= 200 AND doc_id < 300 "
+            "THEN 'edited:' || text ELSE text END) AS h FROM d "
+            "WHERE doc_id >= 100) "
+            "SELECT COALESCE(n.url, o.url) AS url, "
+            "CASE WHEN o.h IS NULL THEN 'added' "
+            "WHEN n.h IS NULL THEN 'removed' "
+            "WHEN n.h = o.h THEN 'unchanged' ELSE 'changed' END AS status "
+            "FROM n FULL OUTER JOIN o ON n.url = o.url"
         ),
         "near_dup_clusters": (
             # recursive-CTE min-label propagation over the exact all-pairs

@@ -1,0 +1,54 @@
+"""Crawl-revision operators: pick the authoritative revision per URL and
+diff two crawl snapshots.
+
+Common-Crawl-style corpora carry the same URL many times (recrawls,
+mirrored segments); extraction and dedup want exactly one authoritative
+page per URL, and incremental pipelines want to process only what CHANGED
+since the last crawl.  Both ops shuffle fixed-width digest columns, never
+page bytes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def latest_revision_per_url(pages: DataFrame) -> DataFrame:
+    """One row per url: the newest ``warc_ts`` revision (ties broken by
+    content digest so the winner is deterministic, not partition-order
+    dependent).  Window on url — urls are near-unique keys, so there is
+    no skew to break; the shuffle carries the page row once, exactly like
+    the groupBy a dedupe-on-write sink would do."""
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.asc(F.md5(F.col("html").cast("binary")))
+    )
+    return (
+        pages.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def crawl_delta(new_pages: DataFrame, old_pages: DataFrame) -> DataFrame:
+    """Classify urls across two crawl snapshots: ``added`` (only in new),
+    ``removed`` (only in old), ``changed`` (both, different content),
+    ``unchanged``.  Both sides are pre-projected to (url, md5) so the
+    full-outer join shuffles 48-byte rows, never HTML; the incremental
+    pipeline then extracts only added+changed urls (an anti-join of the
+    new crawl against this result's unchanged set)."""
+    a = new_pages.select(
+        "url", F.md5(F.col("html").cast("binary")).alias("_new_h")
+    )
+    b = old_pages.select(
+        "url", F.md5(F.col("html").cast("binary")).alias("_old_h")
+    )
+    status = (
+        F.when(F.col("_old_h").isNull(), F.lit("added"))
+        .when(F.col("_new_h").isNull(), F.lit("removed"))
+        .when(F.col("_new_h") == F.col("_old_h"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        a.join(b, "url", "full_outer")
+        .select("url", status.alias("status"))
+    )

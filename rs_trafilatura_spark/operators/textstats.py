@@ -172,3 +172,94 @@ def redact_pii(documents: DataFrame) -> DataFrame:
         phones.cast("long").alias("n_phones"),
         redacted.alias("redacted_text"),
     )
+
+
+# --- published corpus-quality rule sets --------------------------------------------
+
+# Gopher rules (Rae et al. 2021, "Scaling Language Models: ...Gopher",
+# App. A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+# ratio, bullet/ellipsis line ratios, alphabetic-word ratio, stopword
+# presence.  Thresholds are the paper's.  All integer-scaled (x1000) and
+# constrained to regex constructs with identical Java/RE2 semantics so the
+# DuckDB oracle is engine-independent.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(documents: DataFrame) -> DataFrame:
+    """Per-document Gopher quality signals + the composite pass flag.
+    Pure Catalyst: one map-only projection, whole-stage codegen."""
+    text = F.col("text")
+    words = F.split(text, " ")
+    n = F.size(words)
+    word_len_sum = F.aggregate(
+        F.transform(words, lambda w: F.length(w)), F.lit(0), lambda a, x: a + x
+    )
+    mean_word_len_x1000 = F.floor(F.lit(1000) * word_len_sum / n).cast("long")
+    symbols = F.regexp_count(text, F.lit(r"[#]|\.\.\."))
+    symbol_ratio_x1000 = F.floor(F.lit(1000) * symbols / n).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(F.filter(lines, lambda l: l.startswith("- ")
+                                   | l.startswith("* ") | l.startswith("• ")))
+    bullet_ratio_x1000 = F.floor(F.lit(1000) * bullet_lines / n_lines).cast("long")
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")
+                                     | l.endswith("…")))
+    ellipsis_ratio_x1000 = (
+        F.floor(F.lit(1000) * ellipsis_lines / n_lines).cast("long")
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio_x1000 = F.floor(F.lit(1000) * alpha_words / n).cast("long")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*GOPHER_STOPS)))
+    gopher_pass = (
+        (n >= 50) & (n <= 100_000)
+        & (mean_word_len_x1000 >= 3000) & (mean_word_len_x1000 <= 10_000)
+        & (symbol_ratio_x1000 < 100)
+        & (bullet_ratio_x1000 <= 900)
+        & (ellipsis_ratio_x1000 <= 300)
+        & (alpha_ratio_x1000 >= 800)
+        & (stop_hits >= 2)
+    )
+    return documents.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_word_len_x1000.alias("mean_word_len_x1000"),
+        symbol_ratio_x1000.alias("symbol_ratio_x1000"),
+        bullet_ratio_x1000.alias("bullet_ratio_x1000"),
+        ellipsis_ratio_x1000.alias("ellipsis_ratio_x1000"),
+        alpha_ratio_x1000.alias("alpha_ratio_x1000"),
+        stop_hits.cast("long").alias("stop_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
+# C4 rules (Raffel et al. 2020, §2.2): keep lines ending in terminal
+# punctuation with >= 3 words; drop pages containing code/boilerplate
+# markers or too few surviving lines.
+C4_PAGE_BLOCKLIST = ("lorem ipsum", "{", "javascript")
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_filter(documents: DataFrame, min_line_words: int = 3,
+                   min_kept_lines: int = C4_MIN_KEPT_LINES) -> DataFrame:
+    """C4-style line-level cleaning: one map-only pass producing the
+    cleaned text plus audit counts.  Line keep rule = ends in . ! ? or "
+    AND has >= min_line_words whitespace words; page keep rule = >= 
+    min_kept_lines surviving lines and no blocklist marker anywhere."""
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"]$')
+        & (F.size(F.split(l, " ")) >= min_line_words),
+    )
+    lower = F.lower(F.col("text"))
+    blocked = None
+    for marker in C4_PAGE_BLOCKLIST:
+        cond = lower.contains(marker)
+        blocked = cond if blocked is None else (blocked | cond)
+    return documents.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        ((F.size(kept) >= min_kept_lines) & ~blocked).alias("page_kept"),
+    )

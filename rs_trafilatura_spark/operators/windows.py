@@ -52,3 +52,40 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .cast("long").alias("total_value_x1e6"),
         )
     )
+
+
+def capped_per_key(df: DataFrame, key: str, n: int,
+                   order_cols: tuple = ("doc_id",),
+                   n_salts: int = 16) -> DataFrame:
+    """Per-key quota cap — keep at most ``n`` rows per key (e.g. limit any
+    single host to n pages so one zipfian mega-host cannot dominate the
+    training mix).  Returns the input rows that survive, plus their
+    within-key rank.
+
+    The naive plan — ``row_number() over (partition by key)`` — funnels a
+    mega-key's every row through ONE task.  This is the standard two-phase
+    refinement: phase 1 ranks within (key, salt) and keeps each bucket's
+    top n (map-side-bounded: at most n_salts*n rows per key survive,
+    REGARDLESS of key skew); phase 2 ranks the survivors exactly.  The
+    phase-2 window sees <= n_salts*n rows per key, so the single-task
+    funnel is bounded by the quota, not by the key's corpus share.
+    ``order_cols`` must be a deterministic total order for ranks to be
+    reproducible."""
+    if n <= 0:
+        raise ValueError("n must be positive")
+    order = [F.asc(c) for c in order_cols]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]),
+                  F.lit(n_salts)).alias("_salt")
+    w1 = Window.partitionBy(key, "_salt").orderBy(*order)
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return (
+        phase1.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= n)
+        .drop("_salt")
+    )

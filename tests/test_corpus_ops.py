@@ -1,0 +1,98 @@
+"""Round-4 corpus operators: Gopher/C4 quality rules, per-key quota,
+revision dedup, crawl delta."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_gopher_quality_signals(spark):
+    from rs_trafilatura_spark.operators.textstats import gopher_quality
+
+    good = ("the data and the model have to be of good size with that "
+            "margin " * 8).strip()
+    bullets = "word\n" + "\n".join(f"- item {i} here" for i in range(20))
+    symbols = "the of and " + "# " * 50
+    rows = [(0, good), (1, bullets), (2, symbols), (3, "tiny text")]
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_quality(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0]["gopher_pass"] is True
+    assert out[1]["bullet_ratio_x1000"] > 900 and not out[1]["gopher_pass"]
+    assert out[2]["symbol_ratio_x1000"] >= 100 and not out[2]["gopher_pass"]
+    assert out[3]["n_words"] < 50 and not out[3]["gopher_pass"]
+
+
+def test_c4_line_filter_rules(spark):
+    from rs_trafilatura_spark.operators.textstats import c4_line_filter
+
+    page = ("A good first sentence right here.\n"
+            "short one\n"
+            "No terminal punctuation at all\n"
+            "Another proper sentence follows it.\n"
+            "And one final sentence to pass!")
+    blocked = page + "\nthis page mentions lorem ipsum somewhere"
+    rows = [(0, page), (1, blocked), (2, "one.\ntwo.")]
+    out = {r["doc_id"]: r.asDict()
+           for r in c4_line_filter(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0]["n_kept_lines"] == 3 and out[0]["page_kept"] is True
+    assert "short one" not in out[0]["clean_text"]
+    assert "No terminal punctuation" not in out[0]["clean_text"]
+    assert out[1]["page_kept"] is False  # blocklist marker
+    assert out[2]["page_kept"] is False  # too few surviving lines
+
+
+def test_capped_per_key_matches_flat_rank(spark):
+    from rs_trafilatura_spark.operators.windows import capped_per_key
+
+    # skewed: key "hot" holds 90 of 100 rows
+    rows = [(i, "hot" if i < 90 else f"cold{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "host"])
+    got = sorted((r["host"], r["rank"], r["doc_id"])
+                 for r in capped_per_key(df, "host", 4).collect())
+    # flat oracle
+    expect = sorted(
+        [("hot", k + 1, k) for k in range(4)]
+        + [(f"cold{i}", 1, i) for i in range(90, 100)]
+    )
+    assert got == expect
+
+
+def test_capped_per_key_rejects_bad_n(spark):
+    from rs_trafilatura_spark.operators.windows import capped_per_key
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "host"])
+    with pytest.raises(ValueError):
+        capped_per_key(df, "host", 0)
+
+
+def test_latest_revision_tiebreak(spark):
+    from rs_trafilatura_spark.operators.delta import latest_revision_per_url
+    from datetime import datetime
+
+    t1 = datetime(2026, 1, 1)
+    t2 = datetime(2026, 1, 2)
+    rows = [
+        ("u1", t1, b"old"), ("u1", t2, b"new"),
+        # same ts: digest order breaks the tie deterministically
+        ("u2", t1, b"bbb"), ("u2", t1, b"aaa"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "warc_ts", "html"])
+    out = {r["url"]: bytes(r["html"])
+           for r in latest_revision_per_url(df).collect()}
+    assert out["u1"] == b"new"
+    import hashlib
+    expected = min((b"bbb", b"aaa"), key=lambda b: hashlib.md5(b).hexdigest())
+    assert out["u2"] == expected
+
+
+def test_crawl_delta_statuses(spark):
+    from rs_trafilatura_spark.operators.delta import crawl_delta
+
+    old = spark.createDataFrame(
+        [("a", b"1"), ("b", b"2"), ("c", b"3")], ["url", "html"])
+    new = spark.createDataFrame(
+        [("b", b"2"), ("c", b"3x"), ("d", b"4")], ["url", "html"])
+    out = {r["url"]: r["status"] for r in crawl_delta(new, old).collect()}
+    assert out == {"a": "removed", "b": "unchanged",
+                   "c": "changed", "d": "added"}
