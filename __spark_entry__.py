@@ -672,6 +672,41 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_cdx_fetch(spark, sf_dir):
+    """The CDX random-access path: archives + .cdx sidecars are written,
+    the index is read back as a DataFrame, and every indexed record is
+    re-fetched by (file, offset, length) — one seek + one-member gunzip
+    per row.  Oracle reconstructs each page's exact bytes (md5) from the
+    template, so a wrong offset/length fails the hash."""
+    import hashlib
+
+    from rs_trafilatura_spark.sources.warc import (
+        fetch_records, read_cdx, write_warc,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/rs_traf_cdx_oracle_{tag}"
+    _ensure_pyfiles(spark)
+    write_warc(_wrap_roundtrip(_docs(spark, sf_dir)), path, n_files=8).count()
+    pages = fetch_records(read_cdx(spark, path), path)
+    return pages.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        F.md5("html").alias("html_md5"),
+        "lang",
+    )
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled (alpha=0.5) per-source mixing weights; the
+    irrational count^alpha is integer-discretized before normalization so
+    both engines divide identical integers."""
+    from rs_trafilatura_spark.operators.packing import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir), key="source",
+                           alpha_x100=50)
+
+
 def q_extract_metadata(spark, sf_dir):
     out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
     return out.select(
@@ -1588,6 +1623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_roundtrip": q_extract_roundtrip,
         "extract_fastscan": q_extract_fastscan,
         "warc_roundtrip": q_warc_roundtrip,
+        "warc_cdx_fetch": q_warc_cdx_fetch,
+        "mixture_weights": q_mixture_weights,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
         "extract_stage_metrics": q_extract_stage_metrics,
@@ -2297,6 +2334,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
             "FROM c"
+        ),
+        "warc_cdx_fetch": (
+            # exact page bytes reconstructed from the template: a wrong
+            # CDX offset/length yields different bytes -> different md5
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "CAST(1767225600 + doc_id AS BIGINT) AS ts_epoch, "
+            "md5('" + _RT_P1 + "' || lang || '" + _RT_P3 + "' || "
+            "CAST(doc_id AS VARCHAR) || '" + _RT_P5 + "<p>' || text || '"
+            + _RT_P7 + "') AS html_md5, lang FROM documents"
+        ),
+        "mixture_weights": (
+            "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents "
+            "GROUP BY source), "
+            "n AS (SELECT source, n_docs, "
+            "CAST(floor(1000 * pow(n_docs, 0.5)) AS BIGINT) AS num FROM c) "
+            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(floor(1000000 * num / (SELECT SUM(num) FROM n)) "
+            "AS BIGINT) AS weight_x1e6 FROM n"
         ),
         "gopher_quality": (
             # every Gopher signal recomputed with DuckDB list/regex

@@ -82,3 +82,32 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+def mixture_weights(documents: DataFrame, key: str = "source",
+                    alpha_x100: int = 50) -> DataFrame:
+    """Temperature-scaled corpus mixing weights per key (domain/source):
+    weight ∝ count^(alpha) with alpha = alpha_x100/100 — the standard
+    multi-domain rebalancing (alpha=1 proportional, alpha=0 uniform,
+    0<alpha<1 flattens head domains exactly like multilingual/multi-corpus
+    sampling temperature).
+
+    One groupBy(key) — map-side combined counts, O(domains) result.  To
+    stay engine-exact the irrational count^alpha values are discretized
+    BEFORE normalization: num = floor(1000 * count^alpha) per key, weight
+    = floor(1e6 * num / sum(nums)).  Both engines then divide identical
+    integers, so the oracle comparison is bit-exact (summing raw doubles
+    would be addition-order-dependent across partitions)."""
+    if not 0 <= alpha_x100 <= 100:
+        raise ValueError("alpha_x100 must be in [0, 100]")
+    counts = documents.groupBy(key).agg(F.count("*").alias("n_docs"))
+    num = F.floor(F.lit(1000) * F.pow("n_docs", alpha_x100 / 100.0))
+    with_num = counts.withColumn("_num", num)
+    denom = with_num.agg(F.sum("_num")).collect()[0][0]
+    return with_num.select(
+        key,
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.floor(F.lit(1_000_000) * F.col("_num") / F.lit(denom))
+        .cast("long")
+        .alias("weight_x1e6"),
+    )

@@ -66,6 +66,14 @@ WRITE_RESULT_SCHEMA = T.StructType([
     T.StructField("bytes", T.LongType(), False),
 ])
 
+CDX_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType(), False),
+    T.StructField("warc_ts", T.TimestampType(), True),
+    T.StructField("file", T.StringType(), False),
+    T.StructField("offset", T.LongType(), False),
+    T.StructField("length", T.LongType(), False),
+])
+
 _CRLF = b"\r\n"
 _WARC_DATE = "%Y-%m-%dT%H:%M:%SZ"
 # records per emitted Arrow batch ~ 80 MB of HTML at the 300 KB CC mean
@@ -308,6 +316,7 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 16) -> DataFrame:
 
     def write_partition(batches):
         import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
 
         rows_by_idx: dict[int, list[dict]] = {}
         for batch in batches:
@@ -317,30 +326,116 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 16) -> DataFrame:
         for idx, rows in sorted(rows_by_idx.items()):
             rows.sort(key=lambda r: r["url"])
             dest = os.path.join(out_dir, f"part-{idx:05d}.warc.gz")
-            n = 0
+            index: list[str] = []
+            n = offset = 0
             with open(dest, "wb") as sink:
                 for row in rows:
                     rec = build_warc_record(
                         row["url"], row.get("warc_ts"),
                         bytes(row.get("html") or b""), row.get("lang"),
                     )
-                    # one gzip member per record = the Common Crawl layout
-                    sink.write(gzip.compress(rec, mtime=0))
+                    # one gzip member per record = the Common Crawl layout;
+                    # (offset, length) of the member is the CDX random-
+                    # access contract — one seek + one gunzip per record
+                    member = gzip.compress(rec, mtime=0)
+                    sink.write(member)
+                    ts = row.get("warc_ts")
+                    index.append("\t".join((
+                        row["url"],
+                        ts.strftime(_WARC_DATE) if ts else "-",
+                        os.path.basename(dest),
+                        str(offset), str(len(member)),
+                    )))
+                    offset += len(member)
                     n += 1
+            with open(dest[: -len(".warc.gz")] + ".cdx", "w") as cdx:
+                cdx.write("\n".join(index) + ("\n" if index else ""))
             out.append({"file": dest, "n_records": n,
                         "bytes": os.path.getsize(dest)})
         if out:
             yield pa.RecordBatch.from_pylist(
-                out, schema=to_arrow_schema_cached()
+                out, schema=to_arrow_schema(WRITE_RESULT_SCHEMA)
             )
-
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    def to_arrow_schema_cached():
-        return to_arrow_schema(WRITE_RESULT_SCHEMA)
 
     return (
         assigned.select("_file_idx", *cols)
         .repartition(n_files, "_file_idx")
         .mapInArrow(write_partition, schema=WRITE_RESULT_SCHEMA)
+    )
+
+
+# --- CDX index ---------------------------------------------------------------------
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """The sink's ``.cdx`` sidecars as a DataFrame (url, warc_ts, file,
+    offset, length) — the lookup table for random access into the
+    archives.  Plain tab-separated text through Spark's csv reader, so at
+    warehouse scale the index itself is a normal distributed scan."""
+    df = (
+        spark.read.option("sep", "\t")
+        .option("pathGlobFilter", "*.cdx")
+        .schema("url STRING, ts STRING, file STRING, "
+                "offset LONG, length LONG")
+        .csv(path)
+    )
+    return df.select(
+        "url",
+        F.to_timestamp(F.when(F.col("ts") != "-", F.col("ts")),
+                       "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_ts"),
+        "file", "offset", "length",
+    )
+
+
+def fetch_warc_record(archive_dir: str, file: str, offset: int,
+                      length: int) -> Optional[dict]:
+    """Random access: read ONE record by its CDX coordinates (seek +
+    bounded read + gunzip of a single member — never touches the rest of
+    the archive).  Returns the parsed record dict or None."""
+    with open(os.path.join(archive_dir, file), "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    stream = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(member)))
+    with stream:
+        for rec in parse_warc_stream(stream):
+            return rec
+    return None
+
+
+def fetch_records(cdx: DataFrame, archive_dir: str,
+                  rows_per_batch: int = ROWS_PER_BATCH) -> DataFrame:
+    """Distributed random access: resolve a CDX selection back into pages
+    (url, warc_ts, html, lang) — one seek + one-member gunzip per row,
+    never a sequential archive scan.  This is the Common-Crawl re-fetch
+    pattern (an index query picks records, then range-reads hit only
+    those byte ranges); against an object store the seek becomes a range
+    request.  Input needs (file, offset, length); other columns are
+    ignored.  Missing files/corrupt members are skipped (same
+    never-raise contract as the sequential parser)."""
+
+    def fetch(batches):
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(PAGES_SCHEMA)
+        buf: list[dict] = []
+        for batch in batches:
+            for row in batch.to_pylist():
+                try:
+                    rec = fetch_warc_record(
+                        archive_dir, row["file"], row["offset"],
+                        row["length"],
+                    )
+                except OSError:
+                    continue
+                if rec is not None:
+                    buf.append(rec)
+                if len(buf) >= rows_per_batch:
+                    yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+                    buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+
+    return cdx.select("file", "offset", "length").mapInArrow(
+        fetch, schema=PAGES_SCHEMA
     )

@@ -96,3 +96,18 @@ def test_crawl_delta_statuses(spark):
     out = {r["url"]: r["status"] for r in crawl_delta(new, old).collect()}
     assert out == {"a": "removed", "b": "unchanged",
                    "c": "changed", "d": "added"}
+
+
+def test_mixture_weights_temperature(spark):
+    from rs_trafilatura_spark.operators.packing import mixture_weights
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = {r["source"]: r["weight_x1e6"]
+           for r in mixture_weights(df, key="source", alpha_x100=50).collect()}
+    # sqrt flattening: 90/10 docs -> ~9487/3162 weight, i.e. 3:1 not 9:1
+    ratio = out["big"] / out["small"]
+    assert 2.9 < ratio < 3.1
+    flat = {r["source"]: r["weight_x1e6"]
+            for r in mixture_weights(df, key="source", alpha_x100=0).collect()}
+    assert flat["big"] == flat["small"]  # alpha=0 -> uniform

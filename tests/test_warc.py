@@ -112,3 +112,47 @@ def test_read_warc_empty_dir(spark, tmp_path):
     df = read_warc(spark, str(tmp_path))
     assert df.count() == 0
     assert [f.name for f in df.schema.fields] == ["url", "warc_ts", "html", "lang"]
+
+
+def test_cdx_index_and_random_access(spark, tmp_path):
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.sources.warc import (
+        fetch_warc_record,
+        read_cdx,
+        write_warc,
+    )
+
+    pages = generate_pages_df(spark, n_rows=30)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, n_files=3).count()
+    idx = read_cdx(spark, out).collect()
+    assert len(idx) == 30
+    orig = {r["url"]: bytes(r["html"]) for r in pages.collect()}
+    for r in idx[:10]:
+        rec = fetch_warc_record(out, r["file"], r["offset"], r["length"])
+        assert rec is not None and rec["url"] == r["url"]
+        assert rec["html"] == orig[r["url"]]
+
+
+def test_fetch_records_distributed(spark, tmp_path):
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.sources.warc import (
+        fetch_records,
+        read_cdx,
+        write_warc,
+    )
+
+    pages = generate_pages_df(spark, n_rows=30)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, n_files=3).count()
+    got = {r["url"]: bytes(r["html"])
+           for r in fetch_records(read_cdx(spark, out), out).collect()}
+    assert got == {r["url"]: bytes(r["html"]) for r in pages.collect()}
+
+
+def test_fetch_records_skips_missing_file(spark, tmp_path):
+    from rs_trafilatura_spark.sources.warc import fetch_records
+
+    cdx = spark.createDataFrame(
+        [("nope.warc.gz", 0, 100)], ["file", "offset", "length"])
+    assert fetch_records(cdx, str(tmp_path)).count() == 0
