@@ -140,8 +140,27 @@ class Element:
 
     def text_content(self) -> str:
         """Concatenated descendant text (like dom_query's text_content);
-        script/style raw text included only if present in the tree."""
-        return "".join(self.itertext())
+        script/style raw text included only if present in the tree.
+        Inlined iterative walk (no generator frames) — this is the
+        hottest text accessor in the kernel (profiled: ~3x the calls of
+        itertext itself)."""
+        parts: list = []
+        append = parts.append
+        stack: list = [self]
+        push = stack.append
+        pop = stack.pop
+        while stack:
+            item = pop()
+            if type(item) is str:
+                append(item)
+                continue
+            if item.text:
+                append(item.text)
+            for child in reversed(item.children):
+                if child.tail:
+                    push(child.tail)
+                push(child)
+        return "".join(parts)
 
     def iter_text_joined(self, sep: str = " ") -> str:
         """Join text chunks with ``sep`` (reference etree::iter_text)."""

@@ -60,6 +60,9 @@ _FORUM_W = ("reply", "thread", "post", "member", "joined", "reputation",
             "answered", "solution", "vote", "upvote")
 _SIG_KEYWORDS = ("item", "card", "product", "post", "entry", "result",
                  "row", "cell")
+# only these words' counts are ever read from the body word counter
+_INTEREST_WORDS = frozenset(_COMMERCIAL) | frozenset(_CONTENT_W) \
+    | frozenset(_TECH_W) | frozenset(_FORUM_W)
 
 
 def _shallow_containers(body: Element, max_depth: int = 3):
@@ -274,7 +277,9 @@ def _extract_ml_features_slow(doc: Document, url: str = "") -> list[float]:
     words = body_lower.split()
     total_words = len(words)
     if total_words:
-        wc = Counter(words)
+        # counting only the ~40 queried words: a full Counter(words)
+        # builds a corpus-vocabulary dict per page for 4 lookup sums
+        wc = Counter(w for w in words if w in _INTEREST_WORDS)
         f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
         f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
         f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
@@ -368,6 +373,7 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     ps: list = []
     headings: list = []
     links: list = []
+    link_texts: list = []
     buttons = 0
     cta = 0
     n_code_pre = n_form = n_img = n_list = n_table = n_nav = 0
@@ -397,9 +403,13 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
         elif tag in _HEADING_TAGS:
             headings.append(el)
         elif tag == "a":
+            # text_content cached here: CTA, dedup counts, and the
+            # repeated-link-text features all reuse it (one subtree walk
+            # per link instead of three)
+            a_text = el.text_content()
             links.append(el)
-            t = el.text_content().lower()
-            if any(m in t for m in _CTA_MARKERS):
+            link_texts.append(a_text)
+            if any(m in a_text.lower() for m in _CTA_MARKERS):
                 cta += 1
         elif tag == "button":
             buttons += 1
@@ -518,7 +528,8 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
                 price_els.append(el)
 
     # ---- features from the collected pass ------------------------------------
-    p_lens = [len(p.text_content().strip()) for p in ps]
+    p_texts = [p.text_content() for p in ps]
+    p_lens = [len(t.strip()) for t in p_texts]
     substantive = [n for n in p_lens if n > 20]
     f[14] = float(len(substantive))
     f[15] = sum(substantive) / len(substantive) if substantive else 0.0
@@ -542,7 +553,7 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[38] = float(n_code_pre)
     f[39] = 1.0 if has_docsnav else 0.0
 
-    p_words = sum(len(p.text_content().split()) for p in ps)
+    p_words = sum(len(t.split()) for t in p_texts)
     f[40] = len(links) / p_words if p_words else 0.0
     f[41] = float(p_words)
     f[42] = float(n_grid_cls)
@@ -593,8 +604,7 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[68] = 1.0 if "breadcrumblist" in body_lower else 0.0
 
     link_text_counts = Counter(
-        a.text_content().strip().lower() for a in links
-        if len(a.text_content().strip()) > 3
+        s.lower() for s in (t.strip() for t in link_texts) if len(s) > 3
     )
     f[69] = float(sum(1 for c in link_text_counts.values() if c >= 3))
 
@@ -639,7 +649,9 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     words = body_lower.split()
     total_words = len(words)
     if total_words:
-        wc = Counter(words)
+        # counting only the ~40 queried words: a full Counter(words)
+        # builds a corpus-vocabulary dict per page for 4 lookup sums
+        wc = Counter(w for w in words if w in _INTEREST_WORDS)
         f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
         f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
         f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
