@@ -86,7 +86,8 @@ def release_cache() -> None:
 
 def mark_near_duplicates(curated: DataFrame,
                          jaccard_threshold_x1000: int = 800,
-                         id_col=None) -> DataFrame:
+                         id_col=None,
+                         method: str = "exact") -> DataFrame:
     """LSH near-dup pass over the KEPT rows: lower-id loser in each
     detected pair gets drop_reason=near_duplicate.  Candidates come
     from the band-bucket equi-join and are verified with EXACT shingle
@@ -108,7 +109,7 @@ def mark_near_duplicates(curated: DataFrame,
     last one — so a long-lived session holds at most ONE owned frame, not
     an unbounded accumulation.  At warehouse scale the same role is
     played by writing the extraction output table before the dedup pass."""
-    from ..operators.dedup import lsh_near_dup_pairs
+    from ..operators.dedup import lsh_candidate_pairs, lsh_near_dup_pairs
 
     def _id(url_col):
         return (F.xxhash64(url_col) if id_col is None
@@ -116,16 +117,35 @@ def mark_near_duplicates(curated: DataFrame,
 
     from pyspark import StorageLevel
 
+    # release the previous call's owned caches up front (covers the
+    # caller-persisted-input branch too, where the wide frame is never
+    # persisted here but the narrow docs cache below still is)
+    release_cache()
     if curated.storageLevel == StorageLevel.NONE:
-        release_cache()
         curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
         _OWNED_CACHE.append(curated)
 
     kept = curated.filter(F.col("drop_reason").isNull())
+    # narrow second cache for the LSH passes: the signature, shingle, and
+    # band computations each re-scan their input, and scanning the WIDE
+    # persisted frame (content_html/markdown/spans, ~10 KB/row) for a
+    # (doc_id, text) projection pays the full row decode every pass —
+    # measured ~2x the whole LSH stage on the 100k corpus.  At warehouse
+    # scale this is the narrow staging table the dedup job reads.
     docs = kept.select(
         _id(F.col("url")).alias("doc_id"), F.col("content_text").alias("text")
-    )
-    pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _OWNED_CACHE.append(docs)
+    if method == "exact":
+        pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
+    elif method == "estimate":
+        # MinHashLSH semantics (the industry default at web scale):
+        # threshold on the 64-hash signature estimate, never shipping
+        # shingle sets — use when huge template-sharing documents make
+        # the exact verify's Σ|shingles| volume the bottleneck
+        pairs = lsh_candidate_pairs(docs, jaccard_threshold_x1000)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
     return curated.join(
         losers,
