@@ -87,6 +87,22 @@ def main() -> None:
     timings["extract_pipeline"] = round(t_extract, 3)
     n_pages = sum(r["count"] for r in stage_counts)
 
+    # the same 100k-page job through the python-side scan (the production
+    # source for local/object-store files): parquet decode + kernel fused
+    # in one stage, no JVM scan or JVM->Python Arrow hop.  This is the
+    # path whose scaling the north-rule evidence cites — the JVM-scan
+    # path above adds a fixed per-run plumbing floor that distorts the
+    # single-box N vs 4N comparison once the kernel outruns it.
+    from rs_trafilatura_spark.sources import extract_from_parquet
+
+    t_fastpipe = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        extract_from_parquet(spark, corpus, opts) \
+            .groupBy("stage").count().collect()
+        t_fastpipe = min(t_fastpipe, time.time() - t0)
+    timings["extract_pipeline_fastscan"] = round(t_fastpipe, 3)
+
     # large-page corpus (~300 KB avg, matching the reference's 316 KB eval
     # average, README.md:258): the MB/s number vs BASELINE.md is measured
     # here on realistic page weight, not on the small fixture mix
@@ -119,8 +135,6 @@ def main() -> None:
     # same corpus through the python-side parquet scan (sources/fastscan.py):
     # HTML bytes move disk -> extracting worker directly, skipping the
     # JVM scan + JVM->Python Arrow hop entirely
-    from rs_trafilatura_spark.sources import extract_from_parquet
-
     t_fast = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -135,7 +149,8 @@ def main() -> None:
     q = entry_mod.queries()
     for name in ("extract_roundtrip", "dedup_exact", "minhash_lsh_pairs",
                  "ngram_jaccard", "embedding_topk", "language_id",
-                 "chunk_documents", "curation_audit"):
+                 "chunk_documents", "curation_audit", "near_dup_clusters",
+                 "pack_shards", "gopher_quality", "per_host_quota"):
         # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
         # define an operator's number (observed 12x outliers on one pass)
         best = float("inf")
@@ -175,12 +190,27 @@ def main() -> None:
         curate_pages, curation_report, mark_near_duplicates, release_cache,
     )
 
-    t0 = time.time()
-    curated = curate_pages(spark, pages, opts)
-    marked = mark_near_duplicates(curated)
-    curation_report(marked).collect()
-    timings["curation_100k"] = round(time.time() - t0, 3)
-    release_cache()
+    # BENCH_SKIP_CURATION: the scaling harness times only the extraction
+    # job at two parallelism levels; the heavy 100k curation entries would
+    # triple each leg without informing the scaling ratio
+    if not os.environ.get("BENCH_SKIP_CURATION"):
+        t0 = time.time()
+        curated = curate_pages(spark, pages, opts)
+        marked = mark_near_duplicates(curated)
+        curation_report(marked).collect()
+        timings["curation_100k"] = round(time.time() - t0, 3)
+        release_cache()
+
+        # the web-scale configuration: MinHashLSH estimate semantics —
+        # nothing heavier than 64-slot signatures ever shuffles (the exact
+        # run above pays the Sigma|shingles| verify volume this corpus
+        # maximizes)
+        t0 = time.time()
+        marked = mark_near_duplicates(curate_pages(spark, pages, opts),
+                                      method="estimate")
+        curation_report(marked).collect()
+        timings["curation_100k_estimate"] = round(time.time() - t0, 3)
+        release_cache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
