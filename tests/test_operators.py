@@ -434,3 +434,46 @@ def test_shard_manifest_totals(spark):
     # 30 tokens/doc, budget 90 -> 3 docs per shard
     assert all(v == (3, 90) for k, v in man.items() if k < 6)
     assert sum(v[0] for v in man.values()) == 20
+
+
+def test_shingle_hash64_matches_string_shingles():
+    """The vectorized word-mix hash must preserve the distinct-shingle SET
+    semantics: per-doc distinct counts and pairwise intersections equal
+    the string-shingle ground truth (so Jaccard values are identical)."""
+    from rs_trafilatura_spark.operators.dedup import (
+        _shingle_hashes64,
+        _shingle_strings,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy cat again and again",
+        "a b c a b c a b c",          # heavy shingle repetition
+        "one two",                    # < k words
+        "",                           # empty
+        " ".join(f"w{i % 50} t{i % 7}" for i in range(500)),
+    ]
+    hashed = [set(_shingle_hashes64(t)) for t in texts]
+    strs = [set(_shingle_strings(t)) for t in texts]
+    for h, s in zip(hashed, strs):
+        assert len(h) == len(s)
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            assert len(hashed[i] & hashed[j]) == len(strs[i] & strs[j]), (i, j)
+    # sorted-unique contract for the numpy verify UDF
+    for t in texts:
+        out = _shingle_hashes64(t)
+        assert out == sorted(set(out))
+
+
+def test_jaccard_udf_matches_catalyst_floor():
+    import pandas as pd
+
+    from rs_trafilatura_spark.operators.dedup import jaccard_x1000_udf
+
+    fn = jaccard_x1000_udf.func
+    a = pd.Series([[1, 2, 3, 4], [1, 2], [5], []])
+    b = pd.Series([[3, 4, 5, 6], [1, 2], [6], []])
+    out = list(fn(a, b))
+    # floor(1000*2/6)=333, identical=1000, disjoint=0, empty-vs-empty=0
+    assert out == [333, 1000, 0, 0]
