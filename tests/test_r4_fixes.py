@@ -95,17 +95,23 @@ def test_mark_near_duplicates_cache_ownership(spark):
         "language string",
     )
     curate.mark_near_duplicates(df).count()
-    assert len(curate._OWNED_CACHE) == 1
-    first = curate._OWNED_CACHE[0]
-    # next call releases the previous owned frame — at most ONE accumulates
+    # one call owns at most two frames: the wide curated frame + the
+    # narrow (doc_id, text) cache the LSH passes scan
+    assert len(curate._OWNED_CACHE) == 2
+    first = list(curate._OWNED_CACHE)
+    # next call releases the previous owned frames — nothing accumulates
     curate.mark_near_duplicates(df.limit(1)).count()
-    assert len(curate._OWNED_CACHE) == 1
-    assert first.storageLevel == StorageLevel.NONE
+    assert len(curate._OWNED_CACHE) == 2
+    assert all(f.storageLevel == StorageLevel.NONE for f in first)
     curate.release_cache()
     assert not curate._OWNED_CACHE
-    # caller-persisted input stays caller-owned
+    # caller-persisted input stays caller-owned (only the narrow docs
+    # cache is owned here, never the caller's frame)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     curate.mark_near_duplicates(cached).count()
-    assert not curate._OWNED_CACHE
+    assert len(curate._OWNED_CACHE) == 1
+    assert cached not in curate._OWNED_CACHE
+    assert cached.storageLevel != StorageLevel.NONE
+    curate.release_cache()
     assert cached.storageLevel != StorageLevel.NONE
     cached.unpersist()
