@@ -100,15 +100,25 @@ def mark_near_duplicates(curated: DataFrame,
     works; an md5-prefix id makes the survivor choice reproducible in
     engines without xxhash64.
 
+    ``method``: "exact" (default) verifies every candidate with exact
+    shingle-set Jaccard — the correctness bar, but its cost is
+    Σ|shingles| over surviving candidate pairs, which boilerplate-heavy
+    corpora can inflate far beyond corpus size (PLANS.md §4f).
+    "estimate" is the web-scale configuration: MinHashLSH semantics,
+    thresholding the 64-hash signature estimate (sd ≈ 0.05), nothing
+    heavier than signatures ever shuffles.
+
     Caching contract: the input feeds four plan branches, so it must be
     materialized or the extraction kernel runs 4-5x (observed; PLANS.md
     §4d).  If the caller already persisted (or checkpointed/wrote) the
     frame, it is used as-is and the caller keeps ownership.  Otherwise
-    this function persists it and owns that cache: the previous owned
-    cache is released on the next call, and ``release_cache()`` frees the
-    last one — so a long-lived session holds at most ONE owned frame, not
-    an unbounded accumulation.  At warehouse scale the same role is
-    played by writing the extraction output table before the dedup pass."""
+    this function persists it and owns that cache; a second NARROW
+    (doc_id, text) cache is always owned so the LSH passes stop
+    re-decoding the wide frame.  All owned caches from the previous call
+    are released at entry, and ``release_cache()`` frees the current
+    ones — a long-lived session never accumulates caches.  At warehouse
+    scale the same role is played by writing the extraction output table
+    (and a narrow dedup staging table) before the dedup pass."""
     from ..operators.dedup import lsh_candidate_pairs, lsh_near_dup_pairs
 
     def _id(url_col):
