@@ -160,7 +160,16 @@ def main() -> None:
             if name == "embedding_topk":
                 df.collect()
             else:
-                df.select(F.count(F.lit(1))).collect()
+                # hash-materialize EVERY output column: count(1) lets the
+                # optimizer prune pure-projection queries down to a bare
+                # scan (a language_id "benchmark" that never computes
+                # language_id), while a bit_xor-of-xxhash64-of-all-columns
+                # aggregate forces the full computation, returns one long,
+                # and cannot overflow under ANSI mode (sum can)
+                df.select(
+                    F.expr("bit_xor(xxhash64(" +
+                           ", ".join(f"`{c}`" for c in df.columns) + "))")
+                ).collect()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
