@@ -182,7 +182,7 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     selector, in document order."""
     tags = _tag_only(selector)
     if tags is not None:
-        for el in root.iterdesc():
+        for el in root.desc_list():
             if el.tag in tags:
                 yield el
         return
@@ -195,11 +195,11 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
         tag, preds = comp.tag, comp.preds
         if len(preds) == 1:
             pred = preds[0]
-            for el in root.iterdesc():
+            for el in root.desc_list():
                 if (tag is None or el.tag == tag) and pred(el):
                     yield el
             return
-        for el in root.iterdesc():
+        for el in root.desc_list():
             if tag is None or el.tag == tag:
                 for p in preds:
                     if not p(el):
@@ -211,7 +211,7 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     # elements cost one dict probe instead of len(chains) matches() calls
     by_tag = _last_tag_dispatch(selector)
     if by_tag is not None:
-        for el in root.iterdesc():
+        for el in root.desc_list():
             lst = by_tag.get(el.tag)
             if lst is not None:
                 for ch in lst:
@@ -224,7 +224,7 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     # tag/pred checks, skipping two method hops per chain per element
     comps = _single_step_compounds(selector)
     if comps is not None:
-        for el in root.iterdesc():
+        for el in root.desc_list():
             tag = el.tag
             for ctag, preds in comps:
                 if ctag is not None and tag != ctag:
@@ -236,7 +236,7 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
                     yield el
                     break
         return
-    for el in root.iterdesc():
+    for el in root.desc_list():
         for ch in chains:
             if ch.matches(el):
                 yield el
