@@ -707,6 +707,36 @@ def q_mixture_weights(spark, sf_dir):
                            alpha_x100=50)
 
 
+def q_streaming_warc_roundtrip(spark, sf_dir):
+    """Live-crawler ingest: the roundtrip pages land as .warc.gz archive
+    files, a binaryFile readStream picks them up, the streaming parse +
+    watermark + url-dedup + kernel runs to completion — results must
+    equal the batch roundtrip (same oracle)."""
+    import hashlib
+    import shutil
+
+    from rs_trafilatura_spark.sources.warc import write_warc
+    from rs_trafilatura_spark.streaming.pipeline import (
+        run_warc_stream_to_memory,
+    )
+
+    _ensure_pyfiles(spark)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    src = f"/tmp/rs_traf_warc_stream_{tag}"
+    shutil.rmtree(src, ignore_errors=True)
+    write_warc(_wrap_roundtrip(_docs(spark, sf_dir)), src, n_files=8).count()
+    _STREAM_SEQ[0] += 1
+    name = f"warc_stream_{os.getpid()}_{_STREAM_SEQ[0]}"
+    out = run_warc_stream_to_memory(spark, src, query_name=name)
+    rows = out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        F.col("language").alias("lang"),
+    )
+    rows.count()
+    return rows
+
+
 def q_extract_metadata(spark, sf_dir):
     out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
     return out.select(
@@ -1624,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fastscan": q_extract_fastscan,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_fetch": q_warc_cdx_fetch,
+        "streaming_warc_roundtrip": q_streaming_warc_roundtrip,
         "mixture_weights": q_mixture_weights,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
@@ -2163,6 +2194,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "streaming_roundtrip": (
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "text, lang FROM documents"
+        ),
+        # same pages again, but landed as .warc.gz archives consumed by
+        # the binaryFile readStream — the archive + streaming hops must
+        # be invisible in the extracted results
+        "streaming_warc_roundtrip": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
             "text, lang FROM documents"
         ),

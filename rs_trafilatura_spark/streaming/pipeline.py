@@ -94,3 +94,77 @@ def windowed_stage_metrics_stream(
             "stage", "n_pages",
         )
     )
+
+
+def read_warc_stream(spark: SparkSession, input_path: str,
+                     max_files_per_trigger: int = 4) -> DataFrame:
+    """readStream over a GROWING directory of ``*.warc.gz`` crawl archives
+    — the live-crawler ingest: each micro-batch picks up newly landed
+    archive files (binaryFile streaming source, one row per new file),
+    parses them with the same bounded parser the batch WARC source uses,
+    and emits pages rows (url, warc_ts, html, lang).
+
+    Scale notes: ``maxFilesPerTrigger`` bounds a micro-batch to a few
+    archives; one archive's bytes live in one task (the binaryFile
+    contract — CC's ~1 GB files fit comfortably under Spark's 2 GB row
+    limit, and the parse itself streams record-by-record).  Malformed
+    records are skipped, never raised, so one truncated upload cannot
+    wedge the stream."""
+    from ..sources.warc import PAGES_SCHEMA as WARC_PAGES_SCHEMA
+    from ..sources.warc import parse_warc_stream
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, "
+                "length LONG, content BINARY")
+        .option("pathGlobFilter", "*.warc*")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(input_path)
+    )
+
+    def parse(batches):
+        import gzip as _gzip
+        import io as _io
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(WARC_PAGES_SCHEMA)
+        buf: list[dict] = []
+        for batch in batches:
+            for content in batch.column(batch.schema.names.index("content")):
+                blob = content.as_py()
+                if blob[:2] == b"\x1f\x8b":
+                    stream = _io.BufferedReader(
+                        _gzip.GzipFile(fileobj=_io.BytesIO(blob)))
+                else:
+                    stream = _io.BufferedReader(_io.BytesIO(blob))
+                with stream:
+                    for rec in parse_warc_stream(stream):
+                        buf.append(rec)
+                        if len(buf) >= 256:
+                            yield pa.RecordBatch.from_pylist(
+                                buf, schema=arrow_schema)
+                            buf = []
+        if buf:
+            yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
+
+    return raw.select("content").mapInArrow(parse, schema=WARC_PAGES_SCHEMA)
+
+
+def run_warc_stream_to_memory(spark: SparkSession, input_path: str,
+                              query_name: str = "warc_extracted",
+                              options: Options = DEFAULT_OPTIONS):
+    """Drive a bounded WARC-archive backlog to completion: archive files
+    -> streaming parse -> watermark + url dedup -> the SAME kernel ->
+    memory sink.  Production swaps the sink for parquet/foreachBatch."""
+    stream = extraction_stream(read_warc_stream(spark, input_path), options)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory").queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -156,3 +156,23 @@ def test_fetch_records_skips_missing_file(spark, tmp_path):
     cdx = spark.createDataFrame(
         [("nope.warc.gz", 0, 100)], ["file", "offset", "length"])
     assert fetch_records(cdx, str(tmp_path)).count() == 0
+
+
+def test_streaming_warc_ingest_parity(spark, tmp_path):
+    """binaryFile readStream over landed archives -> streaming parse +
+    kernel == the batch table path."""
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.plans.job import run_extraction
+    from rs_trafilatura_spark.sources.warc import write_warc
+    from rs_trafilatura_spark.streaming.pipeline import (
+        run_warc_stream_to_memory,
+    )
+
+    pages = generate_pages_df(spark, n_rows=40)
+    src = str(tmp_path / "crawl")
+    write_warc(pages, src, n_files=3).count()
+    out = run_warc_stream_to_memory(spark, src, query_name="ws_pytest")
+    got = {(r["url"], r["content_text"], r["stage"]) for r in out.collect()}
+    want = {(r["url"], r["content_text"], r["stage"])
+            for r in run_extraction(spark, pages).collect()}
+    assert got == want
