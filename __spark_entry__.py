@@ -737,6 +737,34 @@ def q_streaming_warc_roundtrip(spark, sf_dir):
     return rows
 
 
+def q_extract_incremental(spark, sf_dir):
+    """Incremental crawl processing: old crawl = docs 0-399, new crawl =
+    docs 100-499 with content edited in 200-299.  The kernel runs only
+    over added+changed urls; unchanged rows are carried from the previous
+    output; removed urls drop out.  Oracle = the expected post-crawl
+    corpus built directly from the documents table."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.delta import extract_incremental
+
+    d = _docs(spark, sf_dir)
+    old_pages = _wrap_roundtrip(d.filter(F.col("doc_id") < 400))
+    new_docs = d.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") >= 200) & (F.col("doc_id") < 300),
+            F.concat(F.col("text"), F.lit(" with updated crawl words")),
+        ).otherwise(F.col("text")),
+    )
+    new_pages = _wrap_roundtrip(new_docs)
+    old_output = _run_kernel(spark, old_pages)
+    out = extract_incremental(spark, new_pages, old_pages, old_output)
+    return out.select(
+        "url",
+        F.col("content_text").alias("text"),
+        F.col("language").alias("lang"),
+    )
+
+
 def q_extract_metadata(spark, sf_dir):
     out = _run_kernel(spark, _wrap_metadata(_docs(spark, sf_dir)))
     return out.select(
@@ -1655,6 +1683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_cdx_fetch": q_warc_cdx_fetch,
         "streaming_warc_roundtrip": q_streaming_warc_roundtrip,
+        "extract_incremental": q_extract_incremental,
         "mixture_weights": q_mixture_weights,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
@@ -2458,6 +2487,15 @@ def oracle_sql() -> dict[str, str]:
             "md5(content)) AS rn FROM p) "
             "SELECT url, CAST(ts_epoch AS BIGINT) AS ts_epoch, content_md5 "
             "FROM r WHERE rn = 1"
+        ),
+        "extract_incremental": (
+            # the expected post-crawl corpus: urls 100-499 with the
+            # 200-299 edit visible — identical whether a row was freshly
+            # extracted (added/changed) or carried (unchanged)
+            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            "CASE WHEN doc_id >= 200 AND doc_id < 300 "
+            "THEN text || ' with updated crawl words' ELSE text END AS text, "
+            "lang FROM documents WHERE doc_id >= 100"
         ),
         "crawl_delta": (
             "WITH d AS (SELECT doc_id, "

@@ -52,3 +52,29 @@ def crawl_delta(new_pages: DataFrame, old_pages: DataFrame) -> DataFrame:
         a.join(b, "url", "full_outer")
         .select("url", status.alias("status"))
     )
+
+
+def extract_incremental(spark, new_pages: DataFrame, old_pages: DataFrame,
+                        old_output: DataFrame, options=None) -> DataFrame:
+    """Incremental crawl processing: run the extraction kernel ONLY over
+    urls that are new or whose content changed since the previous crawl,
+    and carry the previous extraction output forward for unchanged urls.
+
+    At web scale this is the difference between re-extracting 100 TB
+    every crawl and extracting the few-percent delta: the diff join
+    ships (url, md5) projections only, the kernel cost is proportional
+    to |added| + |changed|, and unchanged rows are a semi-join against
+    the previous OUTPUT table (no page bytes touched).  Removed urls
+    drop out.  Output schema = run_extraction's."""
+    from ..plans.job import run_extraction
+
+    delta = crawl_delta(new_pages, old_pages)
+    to_extract = delta.filter(
+        F.col("status").isin("added", "changed")).select("url")
+    unchanged = delta.filter(F.col("status") == "unchanged").select("url")
+    fresh = run_extraction(
+        spark, new_pages.join(to_extract, "url", "semi"),
+        *([] if options is None else [options]),
+    )
+    carried = old_output.join(unchanged, "url", "semi")
+    return fresh.unionByName(carried)

@@ -42,9 +42,11 @@ def main() -> None:
     ap.add_argument("--precision", action="store_true")
     ap.add_argument("--recall", action="store_true")
     ap.add_argument("--target-lang", default=None)
-    ap.add_argument("--format", default=None, choices=("iceberg", "parquet"),
-                    help="input table format (default: auto — catalog "
-                         "identifiers read as iceberg, paths as parquet)")
+    ap.add_argument("--format", default=None,
+                    choices=("iceberg", "parquet", "warc"),
+                    help="input format (default: auto — catalog "
+                         "identifiers read as iceberg, paths as parquet; "
+                         "warc reads *.warc/.warc.gz crawl archives)")
     args = ap.parse_args()
 
     from rs_trafilatura_spark.options import Options
@@ -66,7 +68,21 @@ def main() -> None:
         favor_recall=args.recall,
         target_language=args.target_lang,
     )
-    pages = read_pages(spark, args.input, fmt=args.format)
+    if args.format == "warc":
+        # stage the archives as a pages table first: the checkpointed
+        # runner filters by url-hash chunk at the SOURCE, and a mapInArrow
+        # WARC scan would re-parse every archive once per chunk.  Ingest
+        # once -> parquet staging table -> chunked, resumable extraction
+        # (the same two-step every warehouse ingest uses).
+        from rs_trafilatura_spark.sources.warc import read_warc
+
+        staging = args.output.rstrip("/") + "_staged_pages"
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            read_warc(spark, args.input).write.mode("overwrite") \
+                .parquet(staging)
+        pages = spark.read.parquet(staging)
+    else:
+        pages = read_pages(spark, args.input, fmt=args.format)
 
     summary = run_extraction_checkpointed(
         spark, pages, args.output, opts, n_chunks=args.chunks,

@@ -111,3 +111,56 @@ def test_mixture_weights_temperature(spark):
     flat = {r["source"]: r["weight_x1e6"]
             for r in mixture_weights(df, key="source", alpha_x100=0).collect()}
     assert flat["big"] == flat["small"]  # alpha=0 -> uniform
+
+
+def test_extract_incremental_carries_unchanged_rows(spark):
+    """The kernel must NOT rerun for unchanged urls: plant a marker in the
+    previous output — if the marker survives, the row was carried; if the
+    real text appears, it was (wrongly) re-extracted."""
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.operators.delta import extract_incremental
+    from rs_trafilatura_spark.plans.job import run_extraction
+    from pyspark.sql import functions as F
+
+    old_pages = generate_pages_df(spark, n_rows=30)
+    # new crawl: drop the first 5 urls, change nothing else, add none
+    keep_urls = [r["url"] for r in old_pages.select("url").collect()][5:]
+    new_pages = old_pages.filter(F.col("url").isin(keep_urls))
+    old_output = run_extraction(spark, old_pages).withColumn(
+        "content_text", F.lit("CARRIED-MARKER")
+    )
+    out = extract_incremental(spark, new_pages, old_pages, old_output)
+    rows = out.select("url", "content_text").collect()
+    assert len(rows) == 25
+    # every surviving url is unchanged -> all rows carried, none extracted
+    assert all(r["content_text"] == "CARRIED-MARKER" for r in rows)
+
+
+def test_extract_incremental_extracts_delta_only(spark):
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.operators.delta import extract_incremental
+    from rs_trafilatura_spark.plans.job import run_extraction
+    from pyspark.sql import functions as F
+
+    pages = generate_pages_df(spark, n_rows=20)
+    urls = [r["url"] for r in pages.select("url").orderBy("url").collect()]
+    changed_url = urls[0]
+    old_pages = pages
+    new_pages = pages.withColumn(
+        "html",
+        F.when(F.col("url") == changed_url,
+               F.encode(F.lit("<html><body><article><p>Completely new "
+                              "replacement body with plenty of fresh words "
+                              "to extract here.</p></article></body></html>"),
+                        "utf-8"),
+               ).otherwise(F.col("html")),
+    )
+    old_output = run_extraction(spark, old_pages).withColumn(
+        "content_text", F.lit("CARRIED-MARKER"))
+    out = {r["url"]: r["content_text"]
+           for r in extract_incremental(
+               spark, new_pages, old_pages, old_output).collect()}
+    assert len(out) == 20
+    assert "replacement body" in out[changed_url]
+    assert all(v == "CARRIED-MARKER" for u, v in out.items()
+               if u != changed_url)
