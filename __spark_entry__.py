@@ -1500,6 +1500,103 @@ def q_extract_discourse(spark, sf_dir):
     )
 
 
+# --- registry consolidation (round 5) --------------------------------------
+# The driver caps one correctness run at 50 queries taken in registry order
+# (CORRECTNESS_r04.json == the first 50 keys of the r4 registry), so the
+# multi-variant families below are folded into single driver rows: a UNION
+# with a discriminator column when the variants share a schema, a doc_id
+# join when they are per-doc signals over the same input.  Every folded
+# variant keeps its own q_* function (used here and by tests); only the
+# registry key merges.
+
+
+def q_extract_special_stages(spark, sf_dir):
+    """Stages `jsonld_product` + `discourse` as one driver row set; the
+    `stage` column discriminates.  Covers extract.rs:292-318 (structured
+    Product description beats a too-short DOM) and extractor/
+    fallback.rs:44-110 (#data-preloaded JSON-in-JSON)."""
+    return q_extract_jsonld_product(spark, sf_dir).unionByName(
+        q_extract_discourse(spark, sf_dir)
+    )
+
+
+def q_ann_topk_methods(spark, sf_dir):
+    """All three ANN top-k paths — exact cosine, LSH-bucketed, IVF coarse
+    quantizer — as one driver row set with a `method` column.  The lsh/ivf
+    halves keep their planted scale-twin corpora, so the exact oracle's
+    agreement still proves bucketing/probing/ranking end to end."""
+    return (
+        q_embedding_topk(spark, sf_dir)
+        .select(F.lit("exact").alias("method"), "*")
+        .unionByName(q_ann_lsh_topk(spark, sf_dir)
+                     .select(F.lit("lsh").alias("method"), "*"))
+        .unionByName(q_ivf_ann_topk(spark, sf_dir)
+                     .select(F.lit("ivf").alias("method"), "*"))
+    )
+
+
+def q_knn_join_methods(spark, sf_dir):
+    """Exact all-pairs KNN self-join (k=3) and LSH KNN join (k=1, twin
+    corpus) as one driver row set with a `method` column."""
+    return (
+        q_knn_join(spark, sf_dir)
+        .select(F.lit("exact").alias("method"), "*")
+        .unionByName(q_knn_join_lsh(spark, sf_dir)
+                     .select(F.lit("lsh").alias("method"), "*"))
+    )
+
+
+def q_token_stats_full(spark, sf_dir):
+    """Whitespace token stats + BPE-ish regex token stats joined per doc
+    (both are per-doc projections of the same table, so the join is
+    cardinality-preserving)."""
+    return q_token_stats(spark, sf_dir).join(
+        q_bpe_token_stats(spark, sf_dir), "doc_id"
+    )
+
+
+def q_corpus_quality_rules(spark, sf_dir):
+    """Gopher corpus-quality signals (Rae et al. 2021 App. A1.1) + C4
+    line-level cleaning (Raffel et al. 2020 section 2.2) joined per doc
+    over the same multi-line text."""
+    return q_gopher_quality(spark, sf_dir).join(
+        q_c4_lines(spark, sf_dir), "doc_id"
+    )
+
+
+def q_text_quality_id(spark, sf_dir):
+    """Language-ID hits/guess + quality-score signals joined per doc."""
+    return q_language_id(spark, sf_dir).join(
+        q_quality_score(spark, sf_dir), "doc_id"
+    )
+
+
+def q_multimodal_image_pipeline(spark, sf_dir):
+    """Fake-image metadata extraction + resize joined per doc — the two
+    fixed-cardinality stages of the image pipeline (frame sampling stays
+    its own row: it explodes cardinality)."""
+    return q_multimodal_image_meta(spark, sf_dir).join(
+        q_multimodal_resize(spark, sf_dir), "doc_id"
+    )
+
+
+def q_crawl_revisions_delta(spark, sf_dir):
+    """Recrawl handling as one driver row set: authoritative-revision pick
+    per url (kind='latest') + snapshot diff statuses (kind='delta'); the
+    two halves run over different planted corpora, so schemas are padded
+    with typed NULLs rather than joined."""
+    latest = q_latest_revision(spark, sf_dir).select(
+        F.lit("latest").alias("kind"), "url", "ts_epoch", "content_md5",
+        F.lit(None).cast("string").alias("status"),
+    )
+    delta = q_crawl_delta(spark, sf_dir).select(
+        F.lit("delta").alias("kind"), "url",
+        F.lit(None).cast("long").alias("ts_epoch"),
+        F.lit(None).cast("string").alias("content_md5"), "status",
+    )
+    return latest.unionByName(delta)
+
+
 def q_curation_audit(spark, sf_dir):
     """The composed curation pipeline a pretraining user actually runs
     (plans/curate.py): extraction -> quality gate -> language gate ->
@@ -1677,6 +1774,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # EXACTLY 50 keys: the driver caps one correctness run at 50 queries in
+    # registry order (r4 evidence: CORRECTNESS_r04.json == the first 50 of
+    # the 59-key r4 registry, leaving 9 rows unexercised).  Multi-variant
+    # families are folded (see "registry consolidation" above) so every
+    # capability is driver-oracled in a single run.  Keep this at <= 50.
     return {
         "extract_roundtrip": q_extract_roundtrip,
         "extract_fastscan": q_extract_fastscan,
@@ -1690,31 +1792,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_stage_metrics": q_extract_stage_metrics,
         "quality_heuristic": q_quality_heuristic,
         "dedup_exact": q_dedup_exact,
-        "token_stats": q_token_stats,
-        "bpe_token_stats": q_bpe_token_stats,
+        "token_stats_full": q_token_stats_full,
         "redact_pii": q_redact_pii,
         "chunk_documents": q_chunk_documents,
-        "language_id": q_language_id,
-        "quality_score": q_quality_score,
+        "text_quality_id": q_text_quality_id,
         "doc_fingerprint": q_fingerprint,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh_pairs": q_minhash_lsh,
         "simhash_near_dups": q_simhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "pack_shards": q_pack_shards,
-        "gopher_quality": q_gopher_quality,
-        "c4_lines": q_c4_lines,
+        "corpus_quality_rules": q_corpus_quality_rules,
         "per_host_quota": q_per_host_quota,
-        "latest_revision": q_latest_revision,
-        "crawl_delta": q_crawl_delta,
-        "embedding_topk": q_embedding_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "knn_join": q_knn_join,
-        "knn_join_lsh": q_knn_join_lsh,
+        "crawl_revisions_delta": q_crawl_revisions_delta,
+        "ann_topk_methods": q_ann_topk_methods,
+        "knn_join_methods": q_knn_join_methods,
         "embedding_near_dups": q_embedding_near_dups,
-        "multimodal_image_meta": q_multimodal_image_meta,
-        "multimodal_resize": q_multimodal_resize,
+        "multimodal_image_pipeline": q_multimodal_image_pipeline,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "pdf_roundtrip": q_pdf_roundtrip,
         "page_type_features": q_page_type_features,
@@ -1728,8 +1822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats_salted": q_host_stats_salted,
         "extract_merge": q_extract_merge,
         "extract_repeated_items": q_extract_repeated_items,
-        "extract_jsonld_product": q_extract_jsonld_product,
-        "extract_discourse": q_extract_discourse,
+        "extract_special_stages": q_extract_special_stages,
         "curation_audit": q_curation_audit,
         "resume_manifest": q_resume_manifest,
         "streaming_roundtrip": q_streaming_roundtrip,
@@ -2011,7 +2104,7 @@ def oracle_sql() -> dict[str, str]:
         "FROM embeddings a, embeddings b WHERE a.vec_id != b.vec_id) "
         "WHERE rank <= 3"
     )
-    return {
+    o = {
         "extract_roundtrip": (
             "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
             "text, lang, 'Doc ' || doc_id AS title, "
@@ -2613,3 +2706,49 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ceil(length(text) / 64.0) AS BIGINT)))) AS t(i)"
         ),
     }
+    # --- registry consolidation (round 5): compose the merged oracles from
+    # the per-variant SQL above, exactly mirroring the Spark-side unions /
+    # per-doc joins in the merged q_* functions -------------------------------
+    o["extract_special_stages"] = (
+        o.pop("extract_jsonld_product")
+        + " UNION ALL "
+        + o.pop("extract_discourse")
+    )
+    o["ann_topk_methods"] = (
+        "SELECT 'exact' AS method, * FROM (" + o.pop("embedding_topk") + ") "
+        "UNION ALL SELECT 'lsh' AS method, * FROM ("
+        + o.pop("ann_lsh_topk") + ") "
+        "UNION ALL SELECT 'ivf' AS method, * FROM ("
+        + o.pop("ivf_ann_topk") + ")"
+    )
+    o["knn_join_methods"] = (
+        "SELECT 'exact' AS method, * FROM (" + o.pop("knn_join") + ") "
+        "UNION ALL SELECT 'lsh' AS method, * FROM ("
+        + o.pop("knn_join_lsh") + ")"
+    )
+    o["token_stats_full"] = (
+        "SELECT * FROM (" + o.pop("token_stats") + ") ts JOIN ("
+        + o.pop("bpe_token_stats") + ") bp USING (doc_id)"
+    )
+    o["corpus_quality_rules"] = (
+        "SELECT * FROM (" + o.pop("gopher_quality") + ") gq JOIN ("
+        + o.pop("c4_lines") + ") c4 USING (doc_id)"
+    )
+    o["text_quality_id"] = (
+        "SELECT * FROM (" + o.pop("language_id") + ") li JOIN ("
+        + o.pop("quality_score") + ") qs USING (doc_id)"
+    )
+    o["multimodal_image_pipeline"] = (
+        "SELECT * FROM (" + o.pop("multimodal_image_meta") + ") mm JOIN ("
+        + o.pop("multimodal_resize") + ") rz USING (doc_id)"
+    )
+    o["crawl_revisions_delta"] = (
+        "SELECT 'latest' AS kind, url, ts_epoch, content_md5, "
+        "CAST(NULL AS VARCHAR) AS status FROM ("
+        + o.pop("latest_revision") + ") "
+        "UNION ALL SELECT 'delta' AS kind, url, "
+        "CAST(NULL AS BIGINT) AS ts_epoch, "
+        "CAST(NULL AS VARCHAR) AS content_md5, status FROM ("
+        + o.pop("crawl_delta") + ")"
+    )
+    return o

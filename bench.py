@@ -148,16 +148,16 @@ def main() -> None:
     # operator benches at the sf dir, with the normal session split config
     q = entry_mod.queries()
     for name in ("extract_roundtrip", "dedup_exact", "minhash_lsh_pairs",
-                 "ngram_jaccard", "embedding_topk", "language_id",
+                 "ngram_jaccard", "ann_topk_methods", "text_quality_id",
                  "chunk_documents", "curation_audit", "near_dup_clusters",
-                 "pack_shards", "gopher_quality", "per_host_quota"):
+                 "pack_shards", "corpus_quality_rules", "per_host_quota"):
         # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
         # define an operator's number (observed 12x outliers on one pass)
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             df = q[name](spark, SF_DIR)
-            if name == "embedding_topk":
+            if name == "ann_topk_methods":
                 df.collect()
             else:
                 # hash-materialize EVERY output column: count(1) lets the
