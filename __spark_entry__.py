@@ -1024,6 +1024,35 @@ def q_pack_shards(spark, sf_dir):
                        bucket_width=64)
 
 
+def q_write_shards(spark, sf_dir):
+    """The shard WRITER end to end: pack_shards assignment -> one
+    shard-NNNNNNN.txt.gz file per shard -> the written manifest, with
+    content_md5 = md5 of each file's uncompressed payload — a wrong
+    assignment, ordering, or byte emitted by the writer changes the md5
+    the oracle recomputes from the table alone (deterministic
+    doc_id\\tn_tokens\\ttext\\n lines sorted by doc_id)."""
+    import shutil
+    import tempfile
+
+    from rs_trafilatura_spark.operators.packing import (
+        pack_shards, write_shards,
+    )
+
+    _ensure_pyfiles(spark)
+    docs = _docs(spark, sf_dir)
+    packed = pack_shards(docs, budget_tokens=2000, bucket_width=64).join(
+        docs.select("doc_id", "text"), "doc_id"
+    )
+    out_dir = tempfile.mkdtemp(prefix="rs_traf_shards_")
+    try:
+        manifest = write_shards(packed, out_dir).collect()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(manifest).select(
+        "shard_id", "n_docs", "shard_tokens", "content_md5"
+    )
+
+
 def _query_vec(spark, sf_dir):
     row = (
         _embs(spark, sf_dir).filter(F.col("vec_id") == 0)
@@ -1802,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "near_dup_clusters": q_near_dup_clusters,
         "pack_shards": q_pack_shards,
+        "write_shards": q_write_shards,
         "corpus_quality_rules": q_corpus_quality_rules,
         "per_host_quota": q_per_host_quota,
         "crawl_revisions_delta": q_crawl_revisions_delta,
@@ -2494,6 +2524,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
             "FROM c"
+        ),
+        "write_shards": (
+            # the writer's per-shard payload recomputed from the table:
+            # same assignment cumsum as pack_shards, then md5 over the
+            # exact doc_id\t n_tokens\t text\n lines in doc_id order
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "text FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, text, sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
+            "a AS (SELECT doc_id, n_tokens, text, "
+            "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
+            "FROM c) "
+            "SELECT shard_id, count(*) AS n_docs, "
+            "sum(n_tokens) AS shard_tokens, "
+            "md5(string_agg(doc_id || chr(9) || n_tokens || chr(9) || text "
+            "|| chr(10), '' ORDER BY doc_id)) AS content_md5 "
+            "FROM a GROUP BY shard_id"
         ),
         "warc_cdx_fetch": (
             # exact page bytes reconstructed from the template: a wrong

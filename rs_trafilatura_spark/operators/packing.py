@@ -26,8 +26,17 @@ document, which matches greedy concat-and-chunk training pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.sql.window import Window
+
+SHARD_MANIFEST_SCHEMA = T.StructType([
+    T.StructField("shard_id", T.LongType()),
+    T.StructField("file", T.StringType()),
+    T.StructField("n_docs", T.LongType()),
+    T.StructField("shard_tokens", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("content_md5", T.StringType()),
+])
 
 
 def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
@@ -82,6 +91,79 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("shard_tokens"),
     )
+
+
+def write_shards(packed: DataFrame, out_dir: str,
+                 n_tasks: int = 64) -> DataFrame:
+    """Materialize a ``pack_shards`` result as one ``shard-NNNNNNN.txt.gz``
+    file per shard under ``out_dir``; returns the manifest DataFrame
+    (shard_id, file, n_docs, shard_tokens, n_bytes, content_md5) — the
+    caller triggers the write with an action on it.
+
+    Input needs (doc_id, n_tokens, shard_id, text).  Each file holds the
+    shard's documents as ``doc_id<TAB>n_tokens<TAB>text<LF>`` lines sorted
+    by doc_id, gzipped with mtime=0 — so a re-run over the same table
+    produces byte-identical archives, and ``content_md5`` (md5 of the
+    uncompressed payload) is reproducible by any engine from the table
+    alone.  Shards are hash-distributed over ``n_tasks`` write tasks and a
+    task buffers ONE shard at a time (rows arrive shard-clustered after
+    the repartition+sort), so task memory is bounded by the token budget,
+    not the corpus.  Files are written to a task-attempt temp name and
+    atomically renamed on close, so speculative/retried attempts never
+    interleave bytes in a visible file."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_task(batches):
+        import gzip
+
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        def flush(shard_id, rows, out):
+            rows.sort(key=lambda r: r["doc_id"])
+            payload = "".join(
+                f"{r['doc_id']}\t{r['n_tokens']}\t{r['text']}\n"
+                for r in rows
+            ).encode("utf-8")
+            dest = os.path.join(out_dir, f"shard-{shard_id:07d}.txt.gz")
+            tmp = f"{dest}.inprogress-{os.getpid()}"
+            with open(tmp, "wb") as sink:
+                sink.write(gzip.compress(payload, mtime=0))
+            os.replace(tmp, dest)
+            out.append({
+                "shard_id": shard_id,
+                "file": dest,
+                "n_docs": len(rows),
+                "shard_tokens": sum(r["n_tokens"] for r in rows),
+                "n_bytes": os.path.getsize(dest),
+                "content_md5": hashlib.md5(payload).hexdigest(),
+            })
+
+        out: list[dict] = []
+        cur_id, cur_rows = None, []
+        for batch in batches:
+            for row in batch.to_pylist():
+                if row["shard_id"] != cur_id:
+                    if cur_rows:
+                        flush(cur_id, cur_rows, out)
+                    cur_id, cur_rows = row["shard_id"], []
+                cur_rows.append(row)
+        if cur_rows:
+            flush(cur_id, cur_rows, out)
+        if out:
+            yield pa.RecordBatch.from_pylist(
+                out, schema=to_arrow_schema(SHARD_MANIFEST_SCHEMA)
+            )
+
+    clustered = (
+        packed.select("doc_id", "n_tokens", "shard_id", "text")
+        .repartition(n_tasks, "shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+    )
+    return clustered.mapInArrow(write_task, schema=SHARD_MANIFEST_SCHEMA)
 
 
 def mixture_weights(documents: DataFrame, key: str = "source",

@@ -326,9 +326,15 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 16) -> DataFrame:
         for idx, rows in sorted(rows_by_idx.items()):
             rows.sort(key=lambda r: r["url"])
             dest = os.path.join(out_dir, f"part-{idx:05d}.warc.gz")
+            # task-attempt temp name + atomic rename: a speculative or
+            # retried attempt of the same partition can run concurrently,
+            # and two writers on the final path would interleave gzip
+            # members (corrupting both the archive and its .cdx offsets);
+            # os.replace publishes only a fully-written file
+            tmp = f"{dest}.inprogress-{os.getpid()}"
             index: list[str] = []
             n = offset = 0
-            with open(dest, "wb") as sink:
+            with open(tmp, "wb") as sink:
                 for row in rows:
                     rec = build_warc_record(
                         row["url"], row.get("warc_ts"),
@@ -348,8 +354,12 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 16) -> DataFrame:
                     )))
                     offset += len(member)
                     n += 1
-            with open(dest[: -len(".warc.gz")] + ".cdx", "w") as cdx:
+            os.replace(tmp, dest)
+            cdx_dest = dest[: -len(".warc.gz")] + ".cdx"
+            cdx_tmp = f"{cdx_dest}.inprogress-{os.getpid()}"
+            with open(cdx_tmp, "w") as cdx:
                 cdx.write("\n".join(index) + ("\n" if index else ""))
+            os.replace(cdx_tmp, cdx_dest)
             out.append({"file": dest, "n_records": n,
                         "bytes": os.path.getsize(dest)})
         if out:

@@ -436,6 +436,40 @@ def test_shard_manifest_totals(spark):
     assert sum(v[0] for v in man.values()) == 20
 
 
+def test_write_shards_rerun_byte_identical(spark, tmp_path):
+    """The shard writer's files are deterministic: two runs over the same
+    table produce byte-identical .txt.gz archives, the manifest matches
+    the files on disk, and content_md5 matches the uncompressed payload."""
+    import gzip
+    import hashlib
+
+    from rs_trafilatura_spark.operators.packing import pack_shards, write_shards
+
+    rows = [(i, " ".join([f"w{i}x{j}" for j in range(10 + (i * 7) % 23)]))
+            for i in range(80)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_shards(docs, budget_tokens=150, bucket_width=16).join(
+        docs, "doc_id"
+    )
+    d1, d2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    man1 = {r["shard_id"]: r for r in write_shards(packed, d1).collect()}
+    man2 = {r["shard_id"]: r for r in write_shards(packed, d2).collect()}
+    assert man1.keys() == man2.keys() and len(man1) > 2
+    for sid, m in man1.items():
+        b1 = open(m["file"], "rb").read()
+        b2 = open(man2[sid]["file"], "rb").read()
+        assert b1 == b2
+        payload = gzip.decompress(b1)
+        assert hashlib.md5(payload).hexdigest() == m["content_md5"]
+        assert m["n_bytes"] == len(b1)
+        lines = payload.decode().splitlines()
+        assert m["n_docs"] == len(lines)
+        assert m["shard_tokens"] == sum(int(l.split("\t")[1]) for l in lines)
+        # within-shard order is doc_id ascending
+        ids = [int(l.split("\t")[0]) for l in lines]
+        assert ids == sorted(ids)
+
+
 def test_shingle_hash64_matches_string_shingles():
     """The vectorized word-mix hash must preserve the distinct-shingle SET
     semantics: per-doc distinct counts and pairwise intersections equal
