@@ -887,9 +887,10 @@ def q_ngram_jaccard(spark, sf_dir):
 def q_minhash_lsh(spark, sf_dir):
     """LSH-prefiltered exact near-dup pairs.  Oracle = all-pairs exact
     shingle Jaccard in DuckDB; parity holds because MinHash is deterministic
-    and recall at threshold 800 is 1.0 on this corpus (per-pair miss
-    probability (1-s^4)^16 ~ 2e-4 at s=0.8, ~4e-8 at s=0.9; verified equal
-    to the all-pairs result)."""
+    and recall at threshold 800 is 1.0 ON THIS CORPUS (verified equal to
+    the all-pairs result; the general bounds are probabilistic — banding
+    miss (1-s^4)^16 ~ 2e-4 at s=0.8 plus the tier-1 estimate prefilter's
+    ~2e-5 near-threshold miss, see lsh_near_dup_pairs' RECALL CONTRACT)."""
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.dedup import lsh_near_dup_pairs
 

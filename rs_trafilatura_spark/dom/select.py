@@ -179,7 +179,18 @@ def _single_step_compounds(selector: str):
 
 def iter_select(root: Element, selector: str) -> Iterator[Element]:
     """Yield descendants of ``root`` (excluding root itself) matching the
-    selector, in document order."""
+    selector, in document order.
+
+    SNAPSHOT SEMANTICS: the walk runs over a ``desc_list()`` snapshot
+    built at first resumption, so elements detached/pruned by the caller
+    DURING iteration are still yielded (a lazy walk would skip subtrees
+    detached before reaching them).  Callers that prune while consuming
+    matches must materialize first (``select()`` does) — audited: every
+    kernel pruning site goes through ``select()``; the one lazy consumer
+    (find_main_content_node's profile probe) only reads.  Early-exit
+    consumers pay the O(subtree) snapshot build once per call — measured
+    cheaper than per-element generator resumption on the cascade's
+    workloads (see desc_list)."""
     tags = _tag_only(selector)
     if tags is not None:
         for el in root.desc_list():

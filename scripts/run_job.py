@@ -76,10 +76,24 @@ def main() -> None:
         # (the same two-step every warehouse ingest uses).
         from rs_trafilatura_spark.sources.warc import read_warc
 
-        staging = args.output.rstrip("/") + "_staged_pages"
+        # staging dir is keyed on the RESOLVED INPUT too, not just the
+        # output path: otherwise re-running with the same --output but a
+        # different --input would silently reuse stale staged pages and
+        # extract the wrong corpus
+        import hashlib
+
+        input_key = hashlib.md5(
+            os.path.abspath(args.input).encode("utf-8")
+        ).hexdigest()[:12]
+        staging = (args.output.rstrip("/")
+                   + f"_staged_pages_{input_key}")
         if not os.path.exists(os.path.join(staging, "_SUCCESS")):
             read_warc(spark, args.input).write.mode("overwrite") \
                 .parquet(staging)
+        else:
+            print(f"reusing staged pages at {staging} "
+                  f"(input {args.input}); delete to restage",
+                  file=sys.stderr)
         pages = spark.read.parquet(staging)
     else:
         pages = read_pages(spark, args.input, fmt=args.format)
