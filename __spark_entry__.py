@@ -256,6 +256,25 @@ def _rt_html(text_col):
 _CUR_BP_PREFIX = "Subscribe to our newsletter today. "
 _CUR_NEAR_TAIL = " Appended closing remark for the near duplicate audit row."
 
+# Planted near-dup STAR for the pairwise-vs-clusters divergence (r4 verdict
+# task #4): center text T on the url with the LARGEST md5-prefix id
+# (chain-a), leaves T+X / T+Y on the smaller ids (chain-b / chain-c).
+# Shingle Jaccard: J(center, leaf) = 880 >= 800, J(leaf, leaf) = 786 < 800
+# (118 shared T-shingles, 18 tail shingles per leaf).  Pairwise-loser
+# semantics drops only the b-side of each pair (= the center, the largest
+# id) and KEEPS both leaves although they are transitively near-dups;
+# cluster semantics keeps exactly ONE of the three (min id = chain-b).
+_CH_T = " ".join(f"chain{i:03d}" for i in range(120))
+_CH_X = " ".join(f"extx{i:02d}" for i in range(16))
+_CH_Y = " ".join(f"exty{i:02d}" for i in range(16))
+_CH_ROWS = [
+    (9000001, "en", _CH_T, "https://www.curated.example/blog/chain-a"),
+    (9000002, "en", _CH_T + " " + _CH_X,
+     "https://www.curated.example/blog/chain-b"),
+    (9000003, "en", _CH_T + " " + _CH_Y,
+     "https://www.curated.example/blog/chain-c"),
+]
+
 
 def _wrap_curation(documents: DataFrame) -> DataFrame:
     """Planted curation corpus: every doc gets a base page; docs with
@@ -286,7 +305,11 @@ def _wrap_curation(documents: DataFrame) -> DataFrame:
         F.concat(F.col("text"), F.lit(_CUR_NEAR_TAIL)).alias("etext"),
         "doc_id", "lang",
     )
-    rows = base.unionByName(dups).unionByName(nears)
+    chain = documents.sparkSession.createDataFrame(
+        _CH_ROWS, ["doc_id", "lang", "etext", "url"]
+    ).select("url", "etext", F.col("doc_id").cast("long").alias("doc_id"),
+             "lang")
+    rows = base.unionByName(dups).unionByName(nears).unionByName(chain)
     return rows.select(
         "url",
         F.timestamp_seconds(F.lit(_EPOCH_2026) + F.col("doc_id")).alias("warc_ts"),
@@ -1630,9 +1653,12 @@ def q_crawl_revisions_delta(spark, sf_dir):
 def q_curation_audit(spark, sf_dir):
     """The composed curation pipeline a pretraining user actually runs
     (plans/curate.py): extraction -> quality gate -> language gate ->
-    exact dedup -> LSH near-dup marking, audited as (url, kept,
+    exact dedup -> LSH near-dup marking, audited as (method, url, kept,
     drop_reason) over a corpus with planted short/low-quality/duplicate/
-    near-duplicate rows.  page_type is pinned so the quality heuristic is
+    near-duplicate rows PLUS a 3-node near-dup star (see _CH_ROWS) on
+    which the pairwise-loser and cluster-survivor rules provably diverge:
+    'pairs' keeps both star leaves, 'clusters' keeps exactly one of the
+    three.  page_type is pinned so the quality heuristic is
     SQL-reproducible; the near-dup id is an md5-prefix so the survivor
     choice is too."""
     from rs_trafilatura_spark.options import Options
@@ -1645,12 +1671,24 @@ def q_curation_audit(spark, sf_dir):
         spark, pages, Options(page_type="article"),
         min_quality=0.5, min_chars=200, languages=("en",),
     )
-    marked = mark_near_duplicates(curated, 800, id_col=_md5_id)
-    return marked.select(
-        "url",
-        F.col("drop_reason").isNull().alias("kept"),
-        "drop_reason",
-    )
+
+    def audit(method):
+        marked = mark_near_duplicates(curated, 800, id_col=_md5_id,
+                                      method=method)
+        return marked.select(
+            F.lit(method if method != "exact" else "pairs").alias("method"),
+            "url",
+            F.col("drop_reason").isNull().alias("kept"),
+            "drop_reason",
+        )
+
+    # the two near-dup semantics over the SAME gated corpus; collect the
+    # first before the second call releases its owned caches
+    rows_pairs = audit("exact").collect()
+    out_clusters = audit("clusters")
+    return spark.createDataFrame(
+        rows_pairs, out_clusters.schema
+    ).unionByName(out_clusters)
 
 
 def q_resume_manifest(spark, sf_dir):
@@ -2012,8 +2050,11 @@ def _curation_audit_sql() -> str:
         f"'{kw}') THEN 1 ELSE 0 END"
         for kw in _BOILERPLATE_KEYWORDS
     )
+    chain_values = ", ".join(
+        f"({d}, '{lg}', '{tx}', '{u}')" for d, lg, tx, u in _CH_ROWS
+    )
     return f"""
-WITH base AS (
+WITH RECURSIVE base AS (
   SELECT doc_id, lang,
     CASE WHEN doc_id % 10 = 1 THEN rtrim(substr(text, 1, 100))
          WHEN doc_id % 10 = 3 THEN '{_CUR_BP_PREFIX}' || text
@@ -2028,8 +2069,11 @@ WITH base AS (
   SELECT doc_id, lang, text || '{_CUR_NEAR_TAIL}' AS etext,
     'https://www.curated.example/blog/near-' || doc_id AS url
   FROM documents WHERE doc_id % 10 = 2 AND lang = 'en'
+), chain AS (
+  SELECT * FROM (VALUES {chain_values}) AS t(doc_id, lang, etext, url)
 ), pages AS (
   SELECT * FROM base UNION ALL SELECT * FROM extra
+  UNION ALL SELECT * FROM chain
 ), scored AS (
   SELECT url, etext, lang, length(etext) AS L,
     {hconst} + length(lang) + length(CAST(doc_id AS VARCHAR))
@@ -2080,18 +2124,36 @@ WITH base AS (
            string_split(etext, ' ')[i+1] || ' ' ||
            string_split(etext, ' ')[i+2])) END AS sh
   FROM kept WHERE reason IS NULL
-), losers AS (
-  SELECT DISTINCT b.id AS b_id
+), nd_pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
   FROM shingled a JOIN shingled b ON a.id < b.id
   WHERE CAST(floor(1000.0 * len(list_intersect(a.sh, b.sh)) /
     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))))
     AS BIGINT) >= 800
+), losers AS (
+  SELECT DISTINCT b_id FROM nd_pairs
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM nd_pairs
+  UNION SELECT b_id, a_id FROM nd_pairs
+), reach(node, lbl) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+), closers AS (
+  SELECT node AS c_loser FROM reach GROUP BY node
+  HAVING node <> min(lbl)
 )
-SELECT k.url,
+SELECT 'pairs' AS method, k.url,
   (k.reason IS NULL AND l.b_id IS NULL) AS kept,
   CASE WHEN k.reason IS NULL AND l.b_id IS NOT NULL
        THEN 'near_duplicate' ELSE k.reason END AS drop_reason
 FROM kept k LEFT JOIN losers l ON k.id = l.b_id
+UNION ALL
+SELECT 'clusters' AS method, k.url,
+  (k.reason IS NULL AND c.c_loser IS NULL) AS kept,
+  CASE WHEN k.reason IS NULL AND c.c_loser IS NOT NULL
+       THEN 'near_duplicate' ELSE k.reason END AS drop_reason
+FROM kept k LEFT JOIN closers c ON k.id = c.c_loser
 """
 
 

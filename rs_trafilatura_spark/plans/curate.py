@@ -106,7 +106,13 @@ def mark_near_duplicates(curated: DataFrame,
     corpora can inflate far beyond corpus size (PLANS.md §4f).
     "estimate" is the web-scale configuration: MinHashLSH semantics,
     thresholding the 64-hash signature estimate (sd ≈ 0.05), nothing
-    heavier than signatures ever shuffles.
+    heavier than signatures ever shuffles.  "clusters" resolves the
+    exact-verified pair graph into connected components first and keeps
+    exactly ONE document per component (the smallest id): on transitive
+    chains/stars the pairwise loser rule and the cluster rule disagree —
+    e.g. the star (1~3, 2~3) drops only 3 pairwise but 2 AND 3 by
+    cluster — and cluster-survivor semantics is what published pipelines
+    (Gopher, RefinedWeb) apply.
 
     Caching contract: the input feeds four plan branches, so it must be
     materialized or the extraction kernel runs 4-5x (observed; PLANS.md
@@ -148,15 +154,30 @@ def mark_near_duplicates(curated: DataFrame,
     _OWNED_CACHE.append(docs)
     if method == "exact":
         pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
+        losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
     elif method == "estimate":
         # MinHashLSH semantics (the industry default at web scale):
         # threshold on the 64-hash signature estimate, never shipping
         # shingle sets — use when huge template-sharing documents make
         # the exact verify's Σ|shingles| volume the bottleneck
         pairs = lsh_candidate_pairs(docs, jaccard_threshold_x1000)
+        losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
+    elif method == "clusters":
+        # cluster-survivor semantics: exact-verified pairs -> alternating
+        # large-star/small-star connected components -> every non-minimal
+        # member of a component is a loser.  Same O(pairs) verify cost as
+        # "exact" plus the CC iterations over the (tiny) edge list.
+        from ..operators.dedup import connected_components
+
+        pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
+        cc = connected_components(pairs)
+        losers = (
+            cc.filter(F.col("node") != F.col("component"))
+            .select(F.col("node").alias("_loser"))
+            .distinct()
+        )
     else:
         raise ValueError(f"unknown method: {method!r}")
-    losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
     return curated.join(
         losers,
         _id(curated["url"]) == losers["_loser"],

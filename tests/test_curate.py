@@ -73,3 +73,45 @@ def test_empty_languages_tuple_means_no_filter(spark):
         F.col("drop_reason") == "language"
     ).count()
     assert dropped_lang == 0
+
+
+def test_mark_near_duplicates_clusters_vs_pairs_star(spark):
+    """On a near-dup STAR whose center has the largest id, pairwise-loser
+    marking keeps both leaves (they are not near-dups of each other);
+    cluster marking keeps exactly ONE member per component (the min id)."""
+    from pyspark.sql import functions as F
+    from rs_trafilatura_spark.plans.curate import (
+        mark_near_duplicates, release_cache,
+    )
+
+    t = " ".join(f"w{i:03d}" for i in range(120))
+    x = " ".join(f"x{i:02d}" for i in range(16))
+    y = " ".join(f"y{i:02d}" for i in range(16))
+    # J(center, leaf) = 880 >= 800; J(leaf, leaf) = 786 < 800
+    curated = spark.createDataFrame(
+        [("center", t), ("leaf1", t + " " + x), ("leaf2", t + " " + y)],
+        "url string, content_text string",
+    ).withColumn("drop_reason", F.lit(None).cast("string"))
+
+    # deterministic ids with the center LARGEST
+    def id_col(url_col):
+        return (
+            F.when(url_col == "center", F.lit(900))
+            .when(url_col == "leaf1", F.lit(100))
+            .otherwise(F.lit(500))
+            .cast("long")
+        )
+
+    def outcome(method):
+        out = {r["url"]: r["drop_reason"] for r in mark_near_duplicates(
+            curated, 800, id_col=id_col, method=method,
+        ).collect()}
+        release_cache()
+        return out
+
+    pairs = outcome("exact")
+    assert pairs == {"center": "near_duplicate", "leaf1": None,
+                     "leaf2": None}
+    clusters = outcome("clusters")
+    assert clusters == {"center": "near_duplicate", "leaf1": None,
+                        "leaf2": "near_duplicate"}
