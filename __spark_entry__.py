@@ -700,9 +700,18 @@ def q_warc_cdx_fetch(spark, sf_dir):
     the index is read back as a DataFrame, and every indexed record is
     re-fetched by (file, offset, length) — one seek + one-member gunzip
     per row.  Oracle reconstructs each page's exact bytes (md5) from the
-    template, so a wrong offset/length fails the hash."""
+    template, so a wrong offset/length fails the hash.
+
+    Two archive framings, discriminated by ``src``: 'native' is this
+    engine's own sink (one gzip member per record, canonical headers);
+    'foreign' is the same pages re-framed the way another tool might
+    write them (two records per gzip member, FNAME/mtime/level-varying
+    headers, empty padding members — datagen/foreign_warc.py), proving
+    the CDX seek logic honors written offsets rather than its own
+    writer's layout."""
     import hashlib
 
+    from rs_trafilatura_spark.datagen.foreign_warc import write_foreign_warc
     from rs_trafilatura_spark.sources.warc import (
         fetch_records, read_cdx, write_warc,
     )
@@ -710,14 +719,26 @@ def q_warc_cdx_fetch(spark, sf_dir):
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     path = f"/tmp/rs_traf_cdx_oracle_{tag}"
     _ensure_pyfiles(spark)
-    write_warc(_wrap_roundtrip(_docs(spark, sf_dir)), path, n_files=8).count()
-    pages = fetch_records(read_cdx(spark, path), path)
-    return pages.select(
-        "url",
-        F.col("warc_ts").cast("long").alias("ts_epoch"),
-        F.md5("html").alias("html_md5"),
-        "lang",
+    pages_in = _wrap_roundtrip(_docs(spark, sf_dir))
+    write_warc(pages_in, path, n_files=8).count()
+
+    fpath = f"/tmp/rs_traf_cdx_foreign_{tag}"
+    write_foreign_warc(
+        (r.asDict() for r in pages_in.toLocalIterator()), fpath,
+        records_per_member=2,
     )
+
+    def fetched(archive, src):
+        pages = fetch_records(read_cdx(spark, archive), archive)
+        return pages.select(
+            F.lit(src).alias("src"),
+            "url",
+            F.col("warc_ts").cast("long").alias("ts_epoch"),
+            F.md5("html").alias("html_md5"),
+            "lang",
+        )
+
+    return fetched(path, "native").unionByName(fetched(fpath, "foreign"))
 
 
 def q_mixture_weights(spark, sf_dir):
@@ -2608,12 +2629,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warc_cdx_fetch": (
             # exact page bytes reconstructed from the template: a wrong
-            # CDX offset/length yields different bytes -> different md5
-            "SELECT 'https://docs.example/blog/doc-' || doc_id AS url, "
+            # CDX offset/length yields different bytes -> different md5;
+            # the same rows must come back from BOTH archive framings
+            "SELECT s.src, 'https://docs.example/blog/doc-' || doc_id "
+            "AS url, "
             "CAST(1767225600 + doc_id AS BIGINT) AS ts_epoch, "
             "md5('" + _RT_P1 + "' || lang || '" + _RT_P3 + "' || "
             "CAST(doc_id AS VARCHAR) || '" + _RT_P5 + "<p>' || text || '"
-            + _RT_P7 + "') AS html_md5, lang FROM documents"
+            + _RT_P7 + "') AS html_md5, lang FROM documents, "
+            "(SELECT unnest(['native', 'foreign']) AS src) s"
         ),
         "mixture_weights": (
             "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents "

@@ -398,17 +398,25 @@ def read_cdx(spark: SparkSession, path: str) -> DataFrame:
 
 
 def fetch_warc_record(archive_dir: str, file: str, offset: int,
-                      length: int) -> Optional[dict]:
+                      length: int, url: Optional[str] = None
+                      ) -> Optional[dict]:
     """Random access: read ONE record by its CDX coordinates (seek +
     bounded read + gunzip of a single member — never touches the rest of
-    the archive).  Returns the parsed record dict or None."""
+    the archive).  Returns the parsed record dict or None.
+
+    ``url``: foreign writers may pack SEVERAL records into one gzip
+    member, so a CDX line's (offset, length) only addresses the member;
+    when ``url`` is given, the member's records are scanned for the one
+    whose WARC-Target-URI matches (our own sink's one-record-per-member
+    layout short-circuits on the first record either way)."""
     with open(os.path.join(archive_dir, file), "rb") as f:
         f.seek(offset)
         member = f.read(length)
     stream = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(member)))
     with stream:
         for rec in parse_warc_stream(stream):
-            return rec
+            if url is None or rec.get("url") == url:
+                return rec
     return None
 
 
@@ -419,9 +427,11 @@ def fetch_records(cdx: DataFrame, archive_dir: str,
     never a sequential archive scan.  This is the Common-Crawl re-fetch
     pattern (an index query picks records, then range-reads hit only
     those byte ranges); against an object store the seek becomes a range
-    request.  Input needs (file, offset, length); other columns are
-    ignored.  Missing files/corrupt members are skipped (same
-    never-raise contract as the sequential parser)."""
+    request.  Input needs (file, offset, length); ``url``, when present,
+    addresses records inside multi-record members (foreign framings —
+    see fetch_warc_record).  Missing files/corrupt members are skipped
+    (same never-raise contract as the sequential parser)."""
+    has_url = "url" in cdx.columns
 
     def fetch(batches):
         import pyarrow as pa
@@ -434,7 +444,7 @@ def fetch_records(cdx: DataFrame, archive_dir: str,
                 try:
                     rec = fetch_warc_record(
                         archive_dir, row["file"], row["offset"],
-                        row["length"],
+                        row["length"], url=row.get("url"),
                     )
                 except OSError:
                     continue
@@ -446,6 +456,5 @@ def fetch_records(cdx: DataFrame, archive_dir: str,
         if buf:
             yield pa.RecordBatch.from_pylist(buf, schema=arrow_schema)
 
-    return cdx.select("file", "offset", "length").mapInArrow(
-        fetch, schema=PAGES_SCHEMA
-    )
+    cols = (["url"] if has_url else []) + ["file", "offset", "length"]
+    return cdx.select(*cols).mapInArrow(fetch, schema=PAGES_SCHEMA)

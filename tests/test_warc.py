@@ -176,3 +176,47 @@ def test_streaming_warc_ingest_parity(spark, tmp_path):
     want = {(r["url"], r["content_text"], r["stage"])
             for r in run_extraction(spark, pages).collect()}
     assert got == want
+
+
+def test_foreign_framed_archive_sequential_and_random_access(spark, tmp_path):
+    """Archives framed by a DIFFERENT writer (multi-record gzip members,
+    FNAME/mtime/level-varying headers, empty padding members) must work
+    through both the sequential parser and CDX random access — including
+    the SECOND record of a member, which shares its (offset, length) with
+    the first and is only addressable by url."""
+    from datetime import datetime, timezone
+
+    from rs_trafilatura_spark.datagen.foreign_warc import write_foreign_warc
+    from rs_trafilatura_spark.sources.warc import (
+        fetch_records, fetch_warc_record, read_cdx, read_warc,
+    )
+
+    rows = [
+        {"url": f"https://f.example/p{i}",
+         "warc_ts": datetime(2026, 1, 1, tzinfo=timezone.utc),
+         "html": f"<html><body><p>page {i} body</p></body></html>".encode(),
+         "lang": "en"}
+        for i in range(7)  # odd count -> last member has ONE record
+    ]
+    d = str(tmp_path / "foreign")
+    write_foreign_warc(rows, d, records_per_member=2)
+
+    # sequential ingest sees every record despite padding members
+    seq = {r["url"]: bytes(r["html"]) for r in read_warc(spark, d).collect()}
+    assert seq == {r["url"]: r["html"] for r in rows}
+
+    # random access: every CDX line resolves to ITS record's bytes
+    cdx = read_cdx(spark, d)
+    assert cdx.count() == 7
+    back = {r["url"]: bytes(r["html"])
+            for r in fetch_records(cdx, d).collect()}
+    assert back == {r["url"]: r["html"] for r in rows}
+
+    # the second record of a shared member differs from the first
+    lines = {r["url"]: r for r in cdx.collect()}
+    a, b = lines["https://f.example/p0"], lines["https://f.example/p1"]
+    assert (a["offset"], a["length"]) == (b["offset"], b["length"])
+    rec = fetch_warc_record(d, b["file"], b["offset"], b["length"],
+                            url="https://f.example/p1")
+    assert rec["url"] == "https://f.example/p1"
+    assert bytes(rec["html"]) == rows[1]["html"]
