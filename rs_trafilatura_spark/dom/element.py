@@ -33,11 +33,24 @@ def escape_attr(s: str) -> str:
     return s
 
 
+# Global structural-mutation generation counter: bumped by every Element
+# method that changes a children list (append/insert/drop_tree/unwrap —
+# the audited-complete set; the only direct children access outside this
+# class, parser.py's tail merge, is not structural).  desc_list() caches
+# its snapshot stamped with this counter, so the selection cascade's
+# back-to-back selects over the same subtree walk the tree once instead
+# of once per selector, while any mutation anywhere invalidates every
+# cache (over-invalidation across documents is harmless — worst case is
+# a rebuild that the uncached code paid unconditionally).
+_TREE_GEN = 0
+
+
 class Element:
     """One DOM element. ``text`` precedes the first child; each child's
     ``tail`` follows that child's closing tag (lxml semantics)."""
 
-    __slots__ = ("tag", "attrib", "children", "parent", "text", "tail", "_srcpos")
+    __slots__ = ("tag", "attrib", "children", "parent", "text", "tail",
+                 "_srcpos", "_desc_cache", "_desc_gen")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None):
         self.tag = tag
@@ -48,13 +61,19 @@ class Element:
         self.tail: str = ""
         # (start, end) byte offsets into the source html, when known
         self._srcpos: Optional[tuple[int, int]] = None
+        self._desc_cache: Optional[list] = None
+        self._desc_gen: int = -1
 
     # --- construction -----------------------------------------------------
     def append(self, child: "Element") -> None:
+        global _TREE_GEN
+        _TREE_GEN += 1
         child.parent = self
         self.children.append(child)
 
     def insert(self, idx: int, child: "Element") -> None:
+        global _TREE_GEN
+        _TREE_GEN += 1
         child.parent = self
         self.children.insert(idx, child)
 
@@ -82,18 +101,29 @@ class Element:
             stack.extend(reversed(el.children))
 
     def iterdesc(self) -> Iterator["Element"]:
-        """Pre-order traversal of descendants (excluding self)."""
-        stack = list(reversed(self.children))
-        while stack:
-            el = stack.pop()
-            yield el
-            stack.extend(reversed(el.children))
+        """Pre-order traversal of descendants (excluding self).
+
+        SNAPSHOT SEMANTICS (same contract as iter_select): iterates the
+        generation-cached ``desc_list()`` snapshot, so repeated kernel
+        walks between mutations share one tree walk.  Callers must
+        collect victims first and mutate AFTER the loop — audited: every
+        kernel iterdesc site already follows collect-then-mutate (the
+        lazy-generator version made mid-loop pruning equally unsafe,
+        just differently)."""
+        return iter(self.desc_list())
 
     def desc_list(self) -> list:
         """Descendants (excluding self) as a flat pre-order list.  The
         selector engine's scan loops use this instead of iterdesc():
         iterating a built list skips one generator resumption per element
-        (~0.8 µs each; profiled at 660k yields per 31-page batch)."""
+        (~0.8 µs each; profiled at 660k yields per 31-page batch).
+
+        Cached per structural generation (_TREE_GEN): consecutive
+        selector scans with no tree mutation in between — the dominant
+        pattern in the content cascade's rule tables — share one walk.
+        Callers MUST NOT mutate the returned list."""
+        if self._desc_gen == _TREE_GEN and self._desc_cache is not None:
+            return self._desc_cache
         out: list = []
         append = out.append
         stack = list(reversed(self.children))
@@ -103,6 +133,8 @@ class Element:
             el = pop()
             append(el)
             extend(reversed(el.children))
+        self._desc_cache = out
+        self._desc_gen = _TREE_GEN
         return out
 
     def ancestors(self) -> Iterator["Element"]:
@@ -188,9 +220,11 @@ class Element:
         the previous sibling's tail / parent's text (lxml drop_tree semantics,
         which the reference's tail-aware pruning mirrors,
         extractor/pruning.rs:76-116)."""
+        global _TREE_GEN
         parent = self.parent
         if parent is None:
             return
+        _TREE_GEN += 1
         idx = parent.children.index(self)
         if self.tail:
             if idx > 0:
@@ -206,9 +240,11 @@ class Element:
     def unwrap(self) -> None:
         """Strip this tag but keep children in place (lxml strip_tags for one
         element; reference TAGS_TO_STRIP semantics, extractor/tags.rs:110-113)."""
+        global _TREE_GEN
         parent = self.parent
         if parent is None:
             return
+        _TREE_GEN += 1
         idx = parent.children.index(self)
         # merge self.text into the left neighbour
         if self.text:

@@ -9,10 +9,24 @@ tree (reference robustness tests: extract.rs:3807-3847).
 
 from __future__ import annotations
 
+import os
+from html import unescape
 from html.parser import HTMLParser
 from typing import Optional
 
 from .element import Element, VOID_TAGS
+
+# A/B escape hatch for the fast scanner below; semantics are identical by
+# construction (same parse_* methods), so this exists only for debugging.
+_USE_FAST_SCAN = os.environ.get("RS_TRAF_SLOW_PARSE", "") != "1"
+
+# the stdlib tokenizer's own compiled regexes (CPython html/parser.py) —
+# reusing them keeps the fused fast paths token-identical to HTMLParser
+from html.parser import (  # noqa: E402
+    attrfind_tolerant as _attrfind,
+    locatestarttagend_tolerant as _locatestarttagend,
+    tagfind_tolerant as _tagfind,
+)
 
 # Block-level tags whose start implicitly closes an open <p> (HTML5 spec set)
 _P_CLOSERS = frozenset(
@@ -36,10 +50,19 @@ class _TreeBuilder(HTMLParser):
         self.root = Element("#root")
         self.stack: list[Element] = [self.root]
         self._line_starts: Optional[list[int]] = None
+        self._off = -1
 
     # -- source offset helpers ------------------------------------------------
     def feed_with_offsets(self, data: str) -> None:
-        # C-speed newline scan (str.find), not a per-character Python loop
+        if _USE_FAST_SCAN:
+            self.rawdata = data
+            try:
+                self._fast_scan(data)
+            finally:
+                self.rawdata = ""
+            return
+        # stdlib path (RS_TRAF_SLOW_PARSE=1): C-speed newline scan
+        # (str.find), offsets reconstructed from getpos() line/col
         starts = [0]
         idx = data.find("\n")
         while idx != -1:
@@ -49,13 +72,142 @@ class _TreeBuilder(HTMLParser):
         self.feed(data)
         self.close()
 
+    def _fast_scan(self, rawdata: str) -> None:
+        """One-pass scan of the WHOLE document, dispatching to the stdlib
+        parse_starttag/parse_endtag/parse_comment/parse_pi/
+        parse_html_declaration methods with absolute indices — their
+        tokenization (tolerant regexes, attr unescaping, CDATA handling)
+        is therefore byte-identical to HTMLParser.feed()+close().  What
+        this drops is feed()'s incremental machinery: updatepos line/col
+        accounting, the rawdata-carry/buffer-boundary waits (we always
+        have the full page), and the newline pre-scan — the source
+        offset of a construct is just its index (self._off).  Mirrors
+        CPython 3.11 goahead() with convert_charrefs=True and end=True;
+        divergence here is a bug, so the slow path stays one env var
+        away (RS_TRAF_SLOW_PARSE=1)."""
+        n = len(rawdata)
+        i = 0
+        handle_data = self.handle_data
+        find = rawdata.find
+        startswith = rawdata.startswith
+        while i < n:
+            if self.cdata_elem:
+                # inside <script>/<style>: raw data up to the matching
+                # close tag; an unterminated cdata element swallows the
+                # tail (goahead never flushes cdata at EOF)
+                m = self.interesting.search(rawdata, i)
+                if not m:
+                    return
+                j = m.start()
+                if i < j:
+                    handle_data(rawdata[i:j])
+                i = j
+            else:
+                j = find("<", i)
+                if j < 0:
+                    j = n
+                if i < j:
+                    seg = rawdata[i:j]
+                    handle_data(unescape(seg) if "&" in seg else seg)
+                i = j
+                if i == n:
+                    return
+            self._off = i
+            c = rawdata[i + 1:i + 2]
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                k = self.parse_starttag(i)
+            elif c == "/":
+                k = self.parse_endtag(i)
+            elif startswith("<!--", i):
+                k = self.parse_comment(i)
+            elif c == "?":
+                k = self.parse_pi(i)
+            elif c == "!":
+                k = self.parse_html_declaration(i)
+            elif i + 1 < n:
+                handle_data("<")
+                i += 1
+                continue
+            else:
+                handle_data("<")
+                return
+            if k < 0:
+                # unterminated construct at EOF: goahead(end=True) emits
+                # it as data up to the next '>', else next '<', else +1
+                k = find(">", i + 1)
+                if k < 0:
+                    k = find("<", i + 1)
+                    if k < 0:
+                        k = i + 1
+                else:
+                    k += 1
+                seg = rawdata[i:k]
+                if self.cdata_elem:
+                    handle_data(seg)
+                else:
+                    handle_data(unescape(seg) if "&" in seg else seg)
+            i = k
+
     def _srcoffset(self) -> int:
         if self._line_starts is None:
-            return -1
+            return self._off
         line, col = self.getpos()
         if line - 1 < len(self._line_starts):
             return self._line_starts[line - 1] + col
         return -1
+
+    def parse_starttag(self, i: int) -> int:
+        """Fused fast path for well-terminated start tags: one
+        locatestarttagend match (instead of stdlib's match + re-match in
+        check_for_whole_start_tag), attrs built straight into the dict
+        the tree needs (first occurrence wins) instead of a tuple list,
+        unescape/lower only when the value/name needs it.  Anything not
+        ending in a clean '>' or '/>' — truncated tags, '<p<x', buffer
+        oddities — defers to the stdlib method, whose semantics this
+        mirrors line for line (CPython 3.11 parser.py:300-340)."""
+        rawdata = self.rawdata
+        m = _locatestarttagend.match(rawdata, i)
+        j = m.end()
+        nxt = rawdata[j:j + 1]
+        if nxt == ">":
+            endpos = j + 1
+        elif nxt == "/" and rawdata.startswith("/>", j):
+            endpos = j + 2
+        else:
+            return HTMLParser.parse_starttag(self, i)
+        tm = _tagfind.match(rawdata, i + 1)
+        tag = tm.group(1)
+        if not tag.islower():
+            tag = tag.lower()
+        k = tm.end()
+        attrib: dict = {}
+        amatch = _attrfind.match
+        while k < j:
+            am = amatch(rawdata, k)
+            if not am:
+                # junk between attrs and '>': stdlib emits the whole tag
+                # as data (parse_starttag's `end not in (...)` branch)
+                if rawdata[k:j].strip():
+                    self.handle_data(rawdata[i:endpos])
+                    return endpos
+                break
+            name, rest, value = am.group(1, 2, 3)
+            if not rest:
+                value = ""
+            else:
+                if (value[:1] == "'" == value[-1:]
+                        or value[:1] == '"' == value[-1:]):
+                    value = value[1:-1]
+                if value and "&" in value:
+                    value = unescape(value)
+            if not name.islower():
+                name = name.lower()
+            if name not in attrib:
+                attrib[name] = value
+            k = am.end()
+        self._finish_starttag(tag, attrib, i,
+                              selfclosing=endpos == j + 2)
+        return endpos
 
     # -- implicit close rules ---------------------------------------------------
     def _implicit_close(self, tag: str) -> None:
@@ -79,6 +231,21 @@ class _TreeBuilder(HTMLParser):
                 self.stack.pop()
             else:
                 break
+
+    def _finish_starttag(self, tag: str, attrib: dict, off: int,
+                         selfclosing: bool) -> None:
+        """Tree construction shared by the fused parse_starttag: exactly
+        handle_starttag/handle_startendtag minus the attr-tuple hop."""
+        self._implicit_close(tag)
+        el = Element(tag, attrib)
+        if off >= 0:
+            el._srcpos = (off, off)
+        self.stack[-1].append(el)
+        if not selfclosing:
+            if tag not in VOID_TAGS:
+                self.stack.append(el)
+            if tag in self.CDATA_CONTENT_ELEMENTS:
+                self.set_cdata_mode(tag)
 
     # -- HTMLParser callbacks ------------------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:

@@ -163,7 +163,10 @@ def doc_cleaning(body: Element, opts: Options,
     clean_victims: list[Element] = []
     strip_victims: list[Element] = []
     for el in body.iterdesc():
-        if el.tag in to_clean or _is_modal_consent(el) or _is_ad_element(el):
+        # both predicates are False for attribute-less elements (the
+        # majority), so skip the calls outright for those
+        if el.tag in to_clean or (el.attrib and (_is_modal_consent(el)
+                                                 or _is_ad_element(el))):
             clean_victims.append(el)
         elif el.tag in to_strip:
             strip_victims.append(el)

@@ -24,10 +24,13 @@ def find_comment_section(doc: Document) -> Optional[Element]:
     cls_hits: dict[str, Element] = {}
     id_probe_set = set(_ID_PROBES)
     for el in doc.root.iterdesc():
-        id_ = el.get("id")
+        attrib = el.attrib
+        if not attrib:
+            continue
+        id_ = attrib.get("id")
         if id_ and id_ in id_probe_set and id_ not in id_hits:
             id_hits[id_] = el
-        cls = el.get("class")
+        cls = attrib.get("class")
         if cls:
             for c in el.classes:
                 if c in _CLASS_PROBES and c not in cls_hits:

@@ -44,15 +44,16 @@ _RULE1_ID_CONTAINS_LOWER = ("articlebody", "storybody")
 
 def content_rule_1(el: Element) -> bool:
     tag = el.tag
-    id_ = el.get("id")
-    cls = el.get("class")
+    attrib = el.attrib
+    id_ = attrib.get("id", "")
+    cls = attrib.get("class", "")
     if tag == "td":
         return "storybody" in id_.lower() or "storybody" in cls.lower()
     if tag not in ("article", "div", "main", "section"):
         return False
     if cls in ("post", "entry", "only-content"):
         return True
-    if el.get("itemprop") == "articleBody":
+    if attrib.get("itemprop") == "articleBody":
         return True
     if id_ == "articleContent" or id_.lower() == "contentbody":
         return True

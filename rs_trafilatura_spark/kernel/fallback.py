@@ -32,7 +32,7 @@ def extract_discourse_content(doc: Document) -> Optional[str]:
 
     el = None
     for cand in doc.root.iterdesc():
-        if cand.get("id") == "data-preloaded":
+        if cand.attrib.get("id") == "data-preloaded":
             el = cand
             break
     if el is None:

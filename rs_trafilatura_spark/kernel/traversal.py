@@ -54,6 +54,7 @@ def _element_excluded(
 ) -> bool:
     """Own-attribute exclusion checks; ancestors were validated on descent."""
     tag = el.tag
+    attrib = el.attrib
     if tag == "header":
         if not inside_article_main:
             return True
@@ -62,7 +63,7 @@ def _element_excluded(
             # (selector/precision.rs:40-42)
             return True
     elif tag == "footer":
-        cls = el.get("class")
+        cls = attrib.get("class")
         if cls and is_boilerplate(cls, comments_are_content):
             return True
         if not inside_article_main:
@@ -70,8 +71,12 @@ def _element_excluded(
     elif tag in EXCLUDED_TRAVERSAL_TAGS:
         return True
 
-    cls = el.get("class")
-    id_ = el.get("id")
+    if not attrib:
+        # every check below reads an attribute; attribute-less elements
+        # (the majority on real pages) exit here
+        return False
+    cls = attrib.get("class", "")
+    id_ = attrib.get("id", "")
     if cls and is_always_excluded_name(cls):
         return True
     if id_ and is_always_excluded_name(id_):
@@ -81,14 +86,14 @@ def _element_excluded(
             return True
         if id_ and is_boilerplate(id_, comments_are_content):
             return True
-    itemtype = el.get("itemtype")
+    itemtype = attrib.get("itemtype")
     if itemtype and "breadcrumblist" in itemtype.lower():
         return True
     # precision / teaser / caption discards (selector/precision.rs:40-153)
     if opts is not None and tag in _PRECISION_TAGS:
         id_cls = f"{id_}{cls}"
         if opts.favor_precision:
-            style_attr = el.get("style")
+            style_attr = attrib.get("style")
             if ("bottom" in id_cls or "link" in id_cls
                     or (style_attr and "border" in style_attr)):
                 return True
@@ -100,10 +105,10 @@ def _element_excluded(
                 return True
 
     # hidden elements (discard rule 2, selector/discard.rs:225-259)
-    style = el.get("style")
+    style = attrib.get("style")
     if style and ("display:none" in style or "display: none" in style):
         return True
-    if el.get("aria-hidden") == "true" or "hidden" in el.attrib:
+    if attrib.get("aria-hidden") == "true" or "hidden" in attrib:
         return True
     if cls:
         cls_low = cls.lower()
