@@ -50,7 +50,8 @@ class Element:
     ``tail`` follows that child's closing tag (lxml semantics)."""
 
     __slots__ = ("tag", "attrib", "children", "parent", "text", "tail",
-                 "_srcpos", "_desc_cache", "_desc_gen")
+                 "_srcpos", "_desc_cache", "_desc_gen",
+                 "_text_cache", "_text_gen")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None):
         self.tag = tag
@@ -63,6 +64,8 @@ class Element:
         self._srcpos: Optional[tuple[int, int]] = None
         self._desc_cache: Optional[list] = None
         self._desc_gen: int = -1
+        self._text_cache: Optional[str] = None
+        self._text_gen: int = -1
 
     # --- construction -----------------------------------------------------
     def append(self, child: "Element") -> None:
@@ -191,7 +194,15 @@ class Element:
         script/style raw text included only if present in the tree.
         Inlined iterative walk (no generator frames) — this is the
         hottest text accessor in the kernel (profiled: ~3x the calls of
-        itertext itself)."""
+        itertext itself).
+
+        Cached per structural generation like desc_list(): every text/
+        tail mutation in the kernel goes through drop_tree/unwrap (which
+        bump the generation) — verified by grep, there are no direct
+        .text/.tail assignments outside the parser's build phase (where
+        append() bumps continuously)."""
+        if self._text_gen == _TREE_GEN and self._text_cache is not None:
+            return self._text_cache
         parts: list = []
         append = parts.append
         stack: list = [self]
@@ -208,7 +219,10 @@ class Element:
                 if child.tail:
                     push(child.tail)
                 push(child)
-        return "".join(parts)
+        out = "".join(parts)
+        self._text_cache = out
+        self._text_gen = _TREE_GEN
+        return out
 
     def iter_text_joined(self, sep: str = " ") -> str:
         """Join text chunks with ``sep`` (reference etree::iter_text)."""
