@@ -100,3 +100,47 @@ def test_deep_copy_independent():
     clone = doc.copy()
     doc.select_first("p").drop_tree()
     assert clone.select_first("p") is not None
+
+
+def test_fast_scan_differential_fuzz():
+    """Property: the fast whole-document scanner and the stdlib
+    feed()+close() path build identical trees (tags, attrs, text, tails,
+    source offsets) on arbitrary tag-soup."""
+    from hypothesis import given, settings, strategies as st
+
+    import rs_trafilatura_spark.dom.parser as P
+
+    def tree_repr(el):
+        out = [(el.tag, tuple(sorted(el.attrib.items())), el.text, el.tail,
+                el._srcpos)]
+        for c in el.children:
+            out.extend(tree_repr(c))
+        return out
+
+    fragment = st.one_of(
+        st.sampled_from([
+            "<p>", "</p>", "<div class='a b'>", "</div>", "<br/>",
+            "<img src=x>", "text ", "&amp;", "&#65;", "&bogus;", "& ",
+            "<script>", "</script>", "<style>", "</style>", "<!--c-->",
+            "<!-- unterminated", "<!doctype html>", "<?pi?>", "<!decl>",
+            "< notag", "<", ">", "'", '"', "=", "/", "<p a=1 b='2' c=\"3\">",
+            "<P CLASS=UP>", "</P>", "<td>", "<tr>", "<li>", "\n", "\t",
+            "<a href='x>y'>", "<em a=>", "<b a", "<i a='unterminated",
+        ]),
+        st.text(alphabet="abc<>&;='\"/! \n", min_size=0, max_size=12),
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(fragment, min_size=0, max_size=24))
+    def check(frags):
+        html = "".join(frags)
+        P._USE_FAST_SCAN = True
+        fast = tree_repr(P.parse_html(html))
+        P._USE_FAST_SCAN = False
+        try:
+            slow = tree_repr(P.parse_html(html))
+        finally:
+            P._USE_FAST_SCAN = True
+        assert fast == slow, html
+
+    check()
