@@ -255,6 +255,7 @@ def _rt_html(text_col):
 
 _CUR_BP_PREFIX = "Subscribe to our newsletter today. "
 _CUR_NEAR_TAIL = " Appended closing remark for the near duplicate audit row."
+_CUR_AUDIT_CACHE: list = []
 
 # Planted near-dup STAR for the pairwise-vs-clusters divergence (r4 verdict
 # task #4): center text T on the url with the LARGEST md5-prefix id
@@ -1692,6 +1693,17 @@ def q_curation_audit(spark, sf_dir):
         spark, pages, Options(page_type="article"),
         min_quality=0.5, min_chars=200, languages=("en",),
     )
+    # caller-owned persist: both audit passes (and the driver's final
+    # collect) read the SAME materialized extraction instead of
+    # re-running the kernel per near-dup method (mark_near_duplicates
+    # leaves caller-persisted inputs alone).  The previous call's cache
+    # is released here so repeated bench/driver invocations don't stack.
+    from pyspark import StorageLevel
+
+    while _CUR_AUDIT_CACHE:
+        _CUR_AUDIT_CACHE.pop().unpersist()
+    curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
+    _CUR_AUDIT_CACHE.append(curated)
 
     def audit(method):
         marked = mark_near_duplicates(curated, 800, id_col=_md5_id,
