@@ -1085,10 +1085,8 @@ def q_write_shards(spark, sf_dir):
     )
 
     _ensure_pyfiles(spark)
-    docs = _docs(spark, sf_dir)
-    packed = pack_shards(docs, budget_tokens=2000, bucket_width=64).join(
-        docs.select("doc_id", "text"), "doc_id"
-    )
+    packed = pack_shards(_docs(spark, sf_dir), budget_tokens=2000,
+                         bucket_width=64, carry=("text",))
     out_dir = tempfile.mkdtemp(prefix="rs_traf_shards_")
     try:
         manifest = write_shards(packed, out_dir).collect()

@@ -41,10 +41,17 @@ SHARD_MANIFEST_SCHEMA = T.StructType([
 
 def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
                 order_col: str = "doc_id",
-                bucket_width: int = 1 << 20) -> DataFrame:
-    """(doc_id, n_tokens, shard_id) for every document; deterministic in
-    ``order_col``.  Token count = whitespace tokens (swap in
-    ``bpe_token_stats``'s regex for BPE-ish budgets)."""
+                bucket_width: int = 1 << 20,
+                carry: tuple = ()) -> DataFrame:
+    """(doc_id, n_tokens, shard_id[, *carry]) for every document;
+    deterministic in ``order_col``.  Token count = whitespace tokens
+    (swap in ``bpe_token_stats``'s regex for BPE-ish budgets).
+
+    ``carry``: extra columns to thread through the assignment (e.g.
+    ``("text",)`` for a downstream ``write_shards``).  Carrying rides
+    the ONE within-bucket window shuffle; re-joining the payload onto
+    the assignment afterwards would instead be a big-big join (two more
+    wide shuffles) at corpus scale."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
     if bucket_width <= 0:
@@ -55,6 +62,7 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
         F.col("doc_id"),
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
         F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
+        *[F.col(c) for c in carry],
     )
 
     totals = sorted(
@@ -80,6 +88,7 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
             F.floor((cum - F.col("n_tokens")) / budget_tokens)
             .cast("long")
             .alias("shard_id"),
+            *carry,
         )
     )
 

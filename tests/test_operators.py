@@ -448,9 +448,8 @@ def test_write_shards_rerun_byte_identical(spark, tmp_path):
     rows = [(i, " ".join([f"w{i}x{j}" for j in range(10 + (i * 7) % 23)]))
             for i in range(80)]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    packed = pack_shards(docs, budget_tokens=150, bucket_width=16).join(
-        docs, "doc_id"
-    )
+    packed = pack_shards(docs, budget_tokens=150, bucket_width=16,
+                         carry=("text",))
     d1, d2 = str(tmp_path / "run1"), str(tmp_path / "run2")
     man1 = {r["shard_id"]: r for r in write_shards(packed, d1).collect()}
     man2 = {r["shard_id"]: r for r in write_shards(packed, d2).collect()}
