@@ -104,18 +104,30 @@ def test_deep_copy_independent():
 
 def test_fast_scan_differential_fuzz():
     """Property: the fast whole-document scanner and the stdlib
-    feed()+close() path build identical trees (tags, attrs, text, tails,
-    source offsets) on arbitrary tag-soup."""
+    feed()+close() path build identical trees (tags, attrs, text, tails)
+    on arbitrary tag-soup.  Source offsets are checked against the
+    SOURCE, not against the stdlib path: the fast scanner's offsets are
+    plain indices and provably point at the element's own '<tag', while
+    the stdlib line/col bookkeeping can drift on malformed-recovery
+    inputs (found by this fuzzer: '<p><!-- unterminated<p><p>' — stdlib
+    reports the final <p> at 20, its true index is 23)."""
     from hypothesis import given, settings, strategies as st
 
     import rs_trafilatura_spark.dom.parser as P
 
     def tree_repr(el):
-        out = [(el.tag, tuple(sorted(el.attrib.items())), el.text, el.tail,
-                el._srcpos)]
+        out = [(el.tag, tuple(sorted(el.attrib.items())), el.text, el.tail)]
         for c in el.children:
             out.extend(tree_repr(c))
         return out
+
+    def check_offsets(el, html):
+        if el._srcpos is not None and el.tag != "#root":
+            start = el._srcpos[0]
+            assert html[start:start + 1 + len(el.tag)].lower() \
+                == "<" + el.tag, (el.tag, start, html)
+        for c in el.children:
+            check_offsets(c, html)
 
     fragment = st.one_of(
         st.sampled_from([
@@ -135,7 +147,9 @@ def test_fast_scan_differential_fuzz():
     def check(frags):
         html = "".join(frags)
         P._USE_FAST_SCAN = True
-        fast = tree_repr(P.parse_html(html))
+        root = P.parse_html(html)
+        fast = tree_repr(root)
+        check_offsets(root, html)
         P._USE_FAST_SCAN = False
         try:
             slow = tree_repr(P.parse_html(html))
