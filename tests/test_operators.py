@@ -510,3 +510,52 @@ def test_jaccard_udf_matches_catalyst_floor():
     out = list(fn(a, b))
     # floor(1000*2/6)=333, identical=1000, disjoint=0, empty-vs-empty=0
     assert out == [333, 1000, 0, 0]
+
+
+def test_decontamination_flags_exact_ngram_overlap(spark):
+    """A doc sharing a contiguous 13-word window with a benchmark example
+    is flagged; docs with only sub-threshold overlap are not."""
+    from rs_trafilatura_spark.operators.decontaminate import (
+        contamination_hits, mark_contaminated,
+    )
+
+    bench_q = " ".join(f"bench{i}" for i in range(20))
+    corpus = spark.createDataFrame(
+        [
+            # doc 0 embeds a full 13+ word benchmark window
+            (0, "intro words then " + " ".join(f"bench{i}" for i in range(15))
+             + " trailing text here"),
+            # doc 1 shares only 8 consecutive benchmark words (< n=13)
+            (1, "prefix " + " ".join(f"bench{i}" for i in range(8))
+             + " " + " ".join(f"own{i}" for i in range(10))),
+            # doc 2 clean
+            (2, " ".join(f"clean{i}" for i in range(30))),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(bench_q,)], ["text"])
+
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in contamination_hits(corpus, bench, n=13).collect()}
+    assert 0 in hits and hits[0] == 3  # windows [0..12],[1..13],[2..14]
+    assert 1 not in hits and 2 not in hits
+
+    marked = {r["doc_id"]: r["contaminated"]
+              for r in mark_contaminated(corpus, bench, n=13).collect()}
+    assert marked == {0: True, 1: False, 2: False}
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark):
+    """The benchmark gram table must broadcast — a shuffle join would
+    reshuffle the exploded 100 TB gram stream on the gram key."""
+    from rs_trafilatura_spark.operators.decontaminate import contamination_hits
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(20))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([("a b c d e f g h i j k l m n",)], ["text"])
+    plan = contamination_hits(corpus, bench, n=13) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
