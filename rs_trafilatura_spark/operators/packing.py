@@ -93,6 +93,70 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
     )
 
 
+def pack_sequences(documents: DataFrame, seq_len: int = 2048,
+                   order_col: str = "doc_id",
+                   bucket_width: int = 1 << 20) -> DataFrame:
+    """Greedy concat-and-chunk into FIXED-LENGTH training sequences: all
+    documents are conceptually concatenated in ``order_col`` order and
+    cut every ``seq_len`` tokens (the packing most LM training stacks
+    apply after curation; sequence boundaries may split a document).
+
+    Returns one row per (document, sequence) overlap — the assignment
+    metadata a tokenizer job needs to materialize the windows:
+      (seq_id, doc_id, doc_off, seq_off, n_tokens)
+    where the doc's tokens [doc_off, doc_off+n_tokens) land at
+    [seq_off, seq_off+n_tokens) inside sequence ``seq_id``.  Summing
+    n_tokens per seq_id gives exactly seq_len for every full sequence.
+
+    Same distributed prefix sum as ``pack_shards`` (bucketed cumsum +
+    O(n/width) driver offsets — no global single-task window); the
+    per-doc explode is ceil(n_tokens/seq_len)+1 rows, map-only."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(order_col).alias("_ord"),
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
+    )
+    totals = sorted(
+        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row["_bucket"], running))
+        running += row["_t"]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.col("_offset") + F.sum("n_tokens").over(w)
+             - F.col("n_tokens")).alias("_start")
+    with_start = (
+        toks.join(F.broadcast(off_df), "_bucket")
+        .select("doc_id", "n_tokens", start)
+        .filter(F.col("n_tokens") > 0)
+    )
+    first_seq = F.floor(F.col("_start") / seq_len)
+    last_seq = F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len)
+    seq = F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
+    out = with_start.select("doc_id", "n_tokens", "_start", seq)
+    piece_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    piece_end = F.least(F.col("_start") + F.col("n_tokens"),
+                        (F.col("seq_id") + 1) * seq_len)
+    return out.select(
+        F.col("seq_id").cast("long"),
+        "doc_id",
+        (piece_start - F.col("_start")).cast("long").alias("doc_off"),
+        (piece_start - F.col("seq_id") * seq_len).cast("long")
+        .alias("seq_off"),
+        (piece_end - piece_start).cast("long").alias("n_tokens"),
+    )
+
+
 def shard_manifest(assignments: DataFrame) -> DataFrame:
     """Aggregate a pack_shards result into a per-shard manifest —
     the writer's work list: (shard_id, n_docs, n_tokens)."""

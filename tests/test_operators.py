@@ -559,3 +559,49 @@ def test_decontamination_plan_broadcasts_benchmark(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_pack_sequences_matches_naive_concat_chunk(spark):
+    """The distributed concat-and-chunk must equal the single-threaded
+    reference packer row for row, including docs that straddle sequence
+    boundaries and docs longer than a whole sequence."""
+    from rs_trafilatura_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}x{j}" for j in range(5 + (i * 11) % 40)))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    L = 16
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_off"], r["seq_off"], r["n_tokens"])
+        for r in pack_sequences(docs, seq_len=L, bucket_width=8).collect()
+    )
+
+    expect, pos = [], 0
+    for i, text in rows:
+        n = len(text.split())
+        off = 0
+        while off < n:
+            seq_id = (pos + off) // L
+            take = min(n - off, (seq_id + 1) * L - (pos + off))
+            expect.append((seq_id, i, off, (pos + off) % L, take))
+            off += take
+        pos += n
+    assert got == sorted(expect)
+    # every full sequence holds exactly L tokens
+    import collections
+    per_seq = collections.Counter()
+    for seq_id, _, _, _, ntok in got:
+        per_seq[seq_id] += ntok
+    full = [s for s in per_seq if s < max(per_seq)]
+    assert all(per_seq[s] == L for s in full)
+
+
+def test_pack_sequences_no_single_partition_exchange(spark):
+    from rs_trafilatura_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 12) for i in range(50)], ["doc_id", "text"]
+    )
+    plan = pack_sequences(docs, seq_len=32, bucket_width=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
