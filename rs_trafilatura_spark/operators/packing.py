@@ -39,6 +39,44 @@ SHARD_MANIFEST_SCHEMA = T.StructType([
 ])
 
 
+def _global_token_start(documents: DataFrame, order_col: str,
+                        bucket_width: int, carry: tuple = ()) -> DataFrame:
+    """(doc_id, n_tokens, _start[, *carry]): each doc's exclusive global
+    running-token offset in ``order_col`` order, via the distributed
+    prefix sum (bucketed cumsum + O(n/width) driver offsets broadcast
+    back — never a global single-task window).  Shared engine of
+    pack_shards / pack_sequences."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    spark = documents.sparkSession
+    toks = documents.select(
+        F.col(order_col).alias("_ord"),
+        F.col("doc_id"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
+        *[F.col(c) for c in carry],
+    )
+    totals = sorted(
+        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t")).collect()
+    )
+    offsets, running = [], 0
+    for row in totals:
+        offsets.append((row["_bucket"], running))
+        running += row["_t"]
+    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.col("_offset") + F.sum("n_tokens").over(w)
+             - F.col("n_tokens"))
+    return (
+        toks.join(F.broadcast(off_df), "_bucket")
+        .select("doc_id", "n_tokens", start.alias("_start"), *carry)
+    )
+
+
 def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
                 order_col: str = "doc_id",
                 bucket_width: int = 1 << 20,
@@ -54,42 +92,13 @@ def pack_shards(documents: DataFrame, budget_tokens: int = 2000,
     wide shuffles) at corpus scale."""
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
-    if bucket_width <= 0:
-        raise ValueError("bucket_width must be positive")
-    spark = documents.sparkSession
-    toks = documents.select(
-        F.col(order_col).alias("_ord"),
-        F.col("doc_id"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
-        *[F.col(c) for c in carry],
-    )
-
-    totals = sorted(
-        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t")).collect()
-    )
-    offsets, running = [], 0
-    for row in totals:
-        offsets.append((row["_bucket"], running))
-        running += row["_t"]
-    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
-
-    w = (
-        Window.partitionBy("_bucket")
-        .orderBy("_ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.col("_offset") + F.sum("n_tokens").over(w)
-    return (
-        toks.join(F.broadcast(off_df), "_bucket")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor((cum - F.col("n_tokens")) / budget_tokens)
-            .cast("long")
-            .alias("shard_id"),
-            *carry,
-        )
+    starts = _global_token_start(documents, order_col, bucket_width, carry)
+    return starts.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("_start") / budget_tokens).cast("long")
+        .alias("shard_id"),
+        *carry,
     )
 
 
@@ -108,38 +117,13 @@ def pack_sequences(documents: DataFrame, seq_len: int = 2048,
     [seq_off, seq_off+n_tokens) inside sequence ``seq_id``.  Summing
     n_tokens per seq_id gives exactly seq_len for every full sequence.
 
-    Same distributed prefix sum as ``pack_shards`` (bucketed cumsum +
-    O(n/width) driver offsets — no global single-task window); the
-    per-doc explode is ceil(n_tokens/seq_len)+1 rows, map-only."""
+    Same distributed prefix sum as ``pack_shards``; the per-doc explode
+    is ceil(n_tokens/seq_len)+1 rows, map-only."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
-    spark = documents.sparkSession
-    toks = documents.select(
-        F.col(order_col).alias("_ord"),
-        F.col("doc_id"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
-        F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
-    )
-    totals = sorted(
-        toks.groupBy("_bucket").agg(F.sum("n_tokens").alias("_t")).collect()
-    )
-    offsets, running = [], 0
-    for row in totals:
-        offsets.append((row["_bucket"], running))
-        running += row["_t"]
-    off_df = spark.createDataFrame(offsets, ["_bucket", "_offset"])
-    w = (
-        Window.partitionBy("_bucket")
-        .orderBy("_ord")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = (F.col("_offset") + F.sum("n_tokens").over(w)
-             - F.col("n_tokens")).alias("_start")
-    with_start = (
-        toks.join(F.broadcast(off_df), "_bucket")
-        .select("doc_id", "n_tokens", start)
-        .filter(F.col("n_tokens") > 0)
-    )
+    with_start = _global_token_start(
+        documents, order_col, bucket_width
+    ).filter(F.col("n_tokens") > 0)
     first_seq = F.floor(F.col("_start") / seq_len)
     last_seq = F.floor((F.col("_start") + F.col("n_tokens") - 1) / seq_len)
     seq = F.explode(F.sequence(first_seq, last_seq)).alias("seq_id")
