@@ -250,3 +250,48 @@ def mixture_weights(documents: DataFrame, key: str = "source",
         .cast("long")
         .alias("weight_x1e6"),
     )
+
+
+def downsample_to_mixture(documents: DataFrame,
+                          weights: DataFrame | None = None,
+                          key: str = "source",
+                          alpha_x100: int = 50,
+                          salt: int = 42) -> DataFrame:
+    """Deterministically downsample the corpus so per-``key`` proportions
+    match the target mixture — the CONSUMPTION side of
+    :func:`mixture_weights`.
+
+    Given target shares w_k and available counts n_k, the largest total
+    T every domain can supply is T = min_k(n_k / w_k); each domain keeps
+    ~T*w_k docs via a deterministic Bernoulli gate
+    ``pmod(xxhash64(doc_id, salt), 1e6) < rate_x1e6[k]`` — no shuffle,
+    no RNG state: the same doc survives on every run and on every
+    engine, and the O(domains) rate table broadcasts.
+
+    ``weights``: a (key, weight_x1e6) frame (defaults to
+    ``mixture_weights(documents, key, alpha_x100)``).  The head domain
+    (argmin n_k/w_k) keeps ~100% of its docs; everything else thins."""
+    if weights is None:
+        weights = mixture_weights(documents, key=key, alpha_x100=alpha_x100)
+    counts = {r[key]: r["n_docs"] for r in
+              documents.groupBy(key).agg(
+                  F.count("*").alias("n_docs")).collect()}
+    targets = {r[key]: r["weight_x1e6"] for r in
+               weights.select(key, "weight_x1e6").collect()}
+    # largest achievable total: every domain must be able to supply its share
+    total = min(
+        counts[k] * 1_000_000 // w for k, w in targets.items()
+        if w > 0 and k in counts
+    )
+    # rate_x1e6 = 1e6 * (T * share_k) / n_k = T * w_k / n_k  (<= 1e6 by
+    # construction of T)
+    rates = [(k, min(1_000_000, (total * w) // max(counts[k], 1)))
+             for k, w in targets.items() if k in counts]
+    spark = documents.sparkSession
+    rate_df = spark.createDataFrame(rates, [key, "_rate_x1e6"])
+    gate = F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(1_000_000))
+    return (
+        documents.join(F.broadcast(rate_df), key)
+        .filter(gate < F.col("_rate_x1e6"))
+        .drop("_rate_x1e6")
+    )

@@ -605,3 +605,34 @@ def test_pack_sequences_no_single_partition_exchange(spark):
     plan = pack_sequences(docs, seq_len=32, bucket_width=8) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_downsample_to_mixture_hits_targets_deterministically(spark):
+    """Downsampling approaches the target mixture: the binding domain
+    keeps ~everything, others thin to their share; two runs are
+    identical row sets (hash gate, no RNG)."""
+    from rs_trafilatura_spark.operators.packing import (
+        downsample_to_mixture, mixture_weights,
+    )
+
+    rows = ([(i, "a") for i in range(8000)]
+            + [(8000 + i, "b") for i in range(2000)]
+            + [(10000 + i, "c") for i in range(500)])
+    docs = spark.createDataFrame(rows, ["doc_id", "source"])
+    out1 = downsample_to_mixture(docs, alpha_x100=50)
+    got1 = {(r["doc_id"], r["source"]) for r in out1.collect()}
+    got2 = {(r["doc_id"], r["source"])
+            for r in downsample_to_mixture(docs, alpha_x100=50).collect()}
+    assert got1 == got2  # deterministic
+
+    from collections import Counter
+    by_src = Counter(s for _, s in got1)
+    w = {r["source"]: r["weight_x1e6"]
+         for r in mixture_weights(docs, alpha_x100=50).collect()}
+    total = sum(by_src.values())
+    for s in ("a", "b", "c"):
+        achieved = by_src[s] / total
+        target = w[s] / 1_000_000
+        assert abs(achieved - target) < 0.02, (s, achieved, target)
+    # alpha=0.5 flattens: c (2.4% of corpus) rises toward ~13% share
+    assert by_src["c"] / total > 0.10
