@@ -2633,7 +2633,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM c) "
             "SELECT shard_id, count(*) AS n_docs, "
             "sum(n_tokens) AS shard_tokens, "
-            "md5(string_agg(doc_id || chr(9) || n_tokens || chr(9) || text "
+            "md5(string_agg(doc_id || chr(9) || n_tokens || chr(9) || "
+            "replace(replace(replace(text, '\\', '\\\\'), chr(10), '\\n'), "
+            "chr(9), '\\t') "
             "|| chr(10), '' ORDER BY doc_id)) AS content_md5 "
             "FROM a GROUP BY shard_id"
         ),

@@ -42,16 +42,22 @@ def contamination_hits(documents: DataFrame, benchmark: DataFrame,
     ``n_hits`` counts the doc's distinct overlapping grams; clean docs
     do not appear (anti-join them from the corpus to get the keep set,
     or use :func:`mark_contaminated` for the flag column)."""
+    # materialize the gram ARRAY in its own projection before exploding:
+    # inlining the window expression as a sibling of explode makes
+    # Catalyst re-evaluate the full O(words x n) gram computation once
+    # PER EXPLODED ROW (measured: a 120-doc corpus of ~800-word texts
+    # never finished; with the named column it is instant)
     bench_grams = (
-        benchmark.select(
-            F.explode(_gram_hashes(F.col(bench_text_col), n)).alias("_g")
-        )
+        benchmark
+        .select(_gram_hashes(F.col(bench_text_col), n).alias("_gs"))
+        .select(F.explode("_gs").alias("_g"))
         .distinct()
     )
-    doc_grams = documents.select(
-        "doc_id",
-        F.explode(_gram_hashes(F.col("text"), n)).alias("_g"),
-        F.size(shingle_set_expr(F.col("text"), k=n)).alias("n_grams"),
+    doc_grams = (
+        documents
+        .select("doc_id", _gram_hashes(F.col("text"), n).alias("_gs"))
+        .select("doc_id", F.size("_gs").alias("n_grams"),
+                F.explode("_gs").alias("_g"))
     )
     return (
         doc_grams.join(F.broadcast(bench_grams), "_g")

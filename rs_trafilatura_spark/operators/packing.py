@@ -181,8 +181,16 @@ def write_shards(packed: DataFrame, out_dir: str,
 
         def flush(shard_id, rows, out):
             rows.sort(key=lambda r: r["doc_id"])
+            # one LINE per doc, unconditionally: extracted text contains
+            # real newlines (and may contain tabs), so the field text is
+            # escaped \ -> \\, newline -> \n, tab -> \t — an unambiguous,
+            # reversible framing a line-oriented consumer can parse
             payload = "".join(
-                f"{r['doc_id']}\t{r['n_tokens']}\t{r['text']}\n"
+                "{}\t{}\t{}\n".format(
+                    r["doc_id"], r["n_tokens"],
+                    r["text"].replace("\\", "\\\\")
+                             .replace("\n", "\\n").replace("\t", "\\t"),
+                )
                 for r in rows
             ).encode("utf-8")
             dest = os.path.join(out_dir, f"shard-{shard_id:07d}.txt.gz")

@@ -1,0 +1,123 @@
+"""The full pretraining-data pipeline as ONE composed plan:
+
+    crawled pages
+      -> extraction kernel + quality/language gates + exact dedup
+      -> near-dup resolution (pairs / clusters / estimate)
+      -> benchmark decontamination
+      -> per-host quota cap
+      -> deterministic mixture downsampling
+      -> fixed-length sequence assignment OR token-budget shards on disk
+
+Every stage is an operator this repo already driver-oracles or
+plan-gates individually; this module is the composition a user actually
+schedules, with an auditable per-stage report (kept/dropped counts by
+reason) instead of silent filtering.
+
+Scale shape: stages communicate through narrow (id, text, host, source)
+projections; the only shuffles are the ones each operator already owns
+(LSH band join, CC rounds, quota salt-rank, prefix-sum bucket cumsum,
+shard clustering) — composing them adds none.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..options import DEFAULT_OPTIONS, Options
+from .curate import curate_pages, mark_near_duplicates, release_cache
+
+
+def pretraining_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    options: Options = DEFAULT_OPTIONS,
+    *,
+    benchmark: Optional[DataFrame] = None,
+    decontam_n: int = 13,
+    near_dup_method: str = "clusters",
+    min_quality: float = 0.5,
+    min_chars: int = 200,
+    languages: Optional[tuple[str, ...]] = None,
+    max_pages_per_host: Optional[int] = None,
+    mixture_alpha_x100: Optional[int] = None,
+    seq_len: Optional[int] = None,
+    shard_budget_tokens: Optional[int] = None,
+    shard_out_dir: Optional[str] = None,
+) -> dict:
+    """Run the composed pipeline; returns a dict with:
+
+    - ``corpus``: the final (doc_id, url, host, text, n_tokens) frame,
+    - ``report``: [(stage, n_rows)] audit counts, in order,
+    - ``sequences``: pack_sequences assignment (when ``seq_len``),
+    - ``shard_manifest``: written-shard manifest rows (when
+      ``shard_out_dir``; requires ``shard_budget_tokens``).
+
+    Stages gated by None-able parameters are skipped entirely (no plan
+    nodes added).  Intermediate stage frames are materialized via the
+    curation cache contract (mark_near_duplicates owns the persist of
+    the wide extraction output; call release_cache() when done)."""
+    report: list[tuple[str, int]] = []
+
+    curated = curate_pages(
+        spark, pages, options,
+        min_quality=min_quality, min_chars=min_chars, languages=languages,
+    )
+    marked = mark_near_duplicates(curated, method=near_dup_method)
+    kept = marked.filter(F.col("drop_reason").isNull())
+    report.append(("after_curation_and_near_dup", kept.count()))
+
+    corpus = kept.select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
+        F.col("content_text").alias("text"),
+    )
+
+    if benchmark is not None:
+        from ..operators.decontaminate import mark_contaminated
+
+        corpus = mark_contaminated(corpus, benchmark, n=decontam_n) \
+            .filter(~F.col("contaminated")).drop("contaminated")
+        report.append(("after_decontamination", corpus.count()))
+
+    if max_pages_per_host is not None:
+        from ..operators.windows import capped_per_key
+
+        capped = capped_per_key(corpus.select("doc_id", "host"),
+                                "host", n=max_pages_per_host,
+                                order_cols=("doc_id",))
+        corpus = corpus.join(capped.select("doc_id"), "doc_id")
+        report.append(("after_host_quota", corpus.count()))
+
+    if mixture_alpha_x100 is not None:
+        from ..operators.packing import downsample_to_mixture
+
+        corpus = downsample_to_mixture(
+            corpus.withColumn("source", F.col("host")),
+            key="source", alpha_x100=mixture_alpha_x100,
+        ).drop("source")
+        report.append(("after_mixture_downsample", corpus.count()))
+
+    corpus = corpus.withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    )
+    out: dict = {"corpus": corpus, "report": report}
+
+    if seq_len is not None:
+        from ..operators.packing import pack_sequences
+
+        out["sequences"] = pack_sequences(corpus, seq_len=seq_len)
+
+    if shard_out_dir is not None:
+        if shard_budget_tokens is None:
+            raise ValueError("shard_out_dir requires shard_budget_tokens")
+        from ..operators.packing import pack_shards, write_shards
+
+        packed = pack_shards(corpus, budget_tokens=shard_budget_tokens,
+                             carry=("text",))
+        out["shard_manifest"] = write_shards(packed, shard_out_dir).collect()
+        report.append(("shards_written", len(out["shard_manifest"])))
+
+    return out

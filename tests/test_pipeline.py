@@ -1,0 +1,69 @@
+"""End-to-end composed pretraining pipeline (plans/pipeline.py)."""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+from rs_trafilatura_spark.options import Options
+from rs_trafilatura_spark.plans.curate import release_cache
+from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+
+
+def test_pretraining_pipeline_end_to_end(spark, tmp_path):
+    pages = generate_pages_df(spark, n_rows=120)
+
+    # benchmark built from two real extracted pages' opening words, so
+    # decontamination provably bites
+    from rs_trafilatura_spark.kernel import extract_bytes
+
+    sample = pages.orderBy("url").limit(2).collect()
+    bench_rows = []
+    for r in sample:
+        text = extract_bytes(bytes(r["html"]))["content_text"]
+        words = text.split()
+        if len(words) >= 20:
+            bench_rows.append((" ".join(words[:20]),))
+    assert bench_rows, "fixture pages must yield extractable text"
+    bench = spark.createDataFrame(bench_rows, ["text"])
+
+    out = pretraining_pipeline(
+        spark, pages, Options(),
+        benchmark=bench, decontam_n=13,
+        near_dup_method="clusters",
+        max_pages_per_host=50,
+        seq_len=64,
+        shard_budget_tokens=500,
+        shard_out_dir=str(tmp_path / "shards"),
+    )
+    try:
+        report = dict(out["report"])
+        assert report["after_curation_and_near_dup"] > 50
+        # decontamination dropped at least the benchmark-source docs
+        assert report["after_decontamination"] \
+            < report["after_curation_and_near_dup"]
+        assert report["after_host_quota"] <= report["after_decontamination"]
+
+        corpus = out["corpus"]
+        n_final = corpus.count()
+        assert n_final == report["after_host_quota"]
+
+        # sequence assignment covers every corpus token exactly once
+        seqs = out["sequences"]
+        total_tokens = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+        assert seqs.agg(F.sum("n_tokens")).collect()[0][0] == total_tokens
+        per_seq = {r["seq_id"]: r["s"] for r in
+                   seqs.groupBy("seq_id").agg(
+                       F.sum("n_tokens").alias("s")).collect()}
+        full = [s for s in per_seq if s != max(per_seq)]
+        assert all(per_seq[s] == 64 for s in full)
+
+        # shards on disk match the manifest and cover the corpus
+        manifest = out["shard_manifest"]
+        assert sum(m["n_docs"] for m in manifest) == n_final
+        assert sum(m["shard_tokens"] for m in manifest) == total_tokens
+        for m in manifest[:3]:
+            payload = gzip.decompress(open(m["file"], "rb").read())
+            assert len(payload.decode().splitlines()) == m["n_docs"]
+    finally:
+        release_cache()
