@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Production curation job — the composed pretraining pipeline as a
+spark-submit entry (the sibling of run_job.py's extraction entry):
+
+    zip -r pkg.zip rs_trafilatura_spark/
+    spark-submit --py-files pkg.zip scripts/curate_job.py \\
+        --input  /data/pages_parquet \\
+        --output /data/curated \\
+        --benchmark /data/eval_texts_parquet \\
+        --max-per-host 100000 --mixture-alpha 50 \\
+        --seq-len 2048 --shard-tokens 100000000
+
+Reads the pages table (url, warc_ts, html, lang), runs extraction ->
+gates -> near-dup (clusters) -> decontamination -> host quota ->
+mixture downsample, writes the final corpus parquet to
+<output>/corpus, optional token shards to <output>/shards and the
+sequence assignment to <output>/sequences, and prints the per-stage
+audit report as one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="composed curation pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet with a `text` column of eval examples")
+    ap.add_argument("--decontam-n", type=int, default=13)
+    ap.add_argument("--near-dup-method", default="clusters",
+                    choices=("exact", "clusters", "estimate"))
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--min-chars", type=int, default=200)
+    ap.add_argument("--languages", default=None,
+                    help="comma-separated keep list, e.g. en,de")
+    ap.add_argument("--max-per-host", type=int, default=None)
+    ap.add_argument("--mixture-alpha", type=int, default=None,
+                    help="alpha_x100 for mixture downsampling (0-100)")
+    ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--shard-tokens", type=int, default=None)
+    ap.add_argument("--parallelism", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans.curate import release_cache
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+    from rs_trafilatura_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.parallelism)
+    pages = spark.read.parquet(args.input)
+    benchmark = (spark.read.parquet(args.benchmark)
+                 if args.benchmark else None)
+    out = pretraining_pipeline(
+        spark, pages, Options(),
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
+        near_dup_method=args.near_dup_method,
+        min_quality=args.min_quality,
+        min_chars=args.min_chars,
+        languages=(tuple(args.languages.split(","))
+                   if args.languages else None),
+        max_pages_per_host=args.max_per_host,
+        mixture_alpha_x100=args.mixture_alpha,
+        seq_len=args.seq_len,
+        shard_budget_tokens=args.shard_tokens,
+        shard_out_dir=(os.path.join(args.output, "shards")
+                       if args.shard_tokens else None),
+    )
+    corpus_path = os.path.join(args.output, "corpus")
+    out["corpus"].write.mode("overwrite").parquet(corpus_path)
+    result = {"report": out["report"], "corpus": corpus_path}
+    if "sequences" in out:
+        seq_path = os.path.join(args.output, "sequences")
+        out["sequences"].write.mode("overwrite").parquet(seq_path)
+        result["sequences"] = seq_path
+    if "shard_manifest" in out:
+        result["n_shards"] = len(out["shard_manifest"])
+    release_cache()
+    print(json.dumps(result, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
