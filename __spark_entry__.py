@@ -743,13 +743,32 @@ def q_warc_cdx_fetch(spark, sf_dir):
 
 
 def q_mixture_weights(spark, sf_dir):
-    """Temperature-scaled (alpha=0.5) per-source mixing weights; the
-    irrational count^alpha is integer-discretized before normalization so
-    both engines divide identical integers."""
-    from rs_trafilatura_spark.operators.packing import mixture_weights
+    """Temperature-scaled (alpha=0.5) per-source mixing weights PLUS the
+    downsampling that consumes them, as one driver row (registry
+    consolidation): n_kept = survivors of the deterministic per-doc gate
+    at rate T*w_k/n_k with T = min_k(n_k*1e6/w_k).  The gate is an
+    md5-prefix so DuckDB reproduces the exact survivor set; the
+    irrational count^alpha is integer-discretized before normalization
+    so both engines divide identical integers."""
+    from rs_trafilatura_spark.operators.packing import (
+        downsample_to_mixture, mixture_weights,
+    )
 
-    return mixture_weights(_docs(spark, sf_dir), key="source",
-                           alpha_x100=50)
+    docs = _docs(spark, sf_dir)
+    weights = mixture_weights(docs, key="source", alpha_x100=50)
+    gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    kept = downsample_to_mixture(docs, weights=weights, key="source",
+                                 gate_col=gate)
+    return weights.join(
+        kept.groupBy("source").agg(F.count("*").cast("long")
+                                   .alias("n_kept")),
+        "source", "left",
+    ).select("source", "n_docs", "weight_x1e6",
+             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
 
 
 def q_streaming_warc_roundtrip(spark, sf_dir):
@@ -918,9 +937,25 @@ def q_quality_score(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
+    """Document fingerprints + benchmark decontamination in one driver
+    row (registry consolidation): the benchmark is docs 0-4's texts, so
+    those docs — and any doc sharing a 13-word gram with them (the
+    corpus's planted exact duplicates do) — must flag, with n_hits =
+    the count of distinct overlapping grams the oracle recomputes as a
+    string-set intersection."""
+    from rs_trafilatura_spark.operators.decontaminate import (
+        contamination_hits,
+    )
     from rs_trafilatura_spark.operators.textstats import fingerprint
 
-    return fingerprint(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5).select("text")
+    hits = contamination_hits(docs, bench, n=13)
+    return fingerprint(docs).join(hits, "doc_id", "left").select(
+        "doc_id", "fingerprint",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contam_hits"),
+        F.col("n_hits").isNotNull().alias("contaminated"),
+    )
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -1061,13 +1096,26 @@ def q_crawl_delta(spark, sf_dir):
 
 
 def q_pack_shards(spark, sf_dir):
-    """Token-budget training-shard assignment via a distributed prefix sum
-    (bucketed cumsum + O(n/width) driver offsets — no global single-task
-    window).  Oracle = the plain global window cumsum in DuckDB."""
-    from rs_trafilatura_spark.operators.packing import pack_shards
+    """Token-budget shard assignment AND fixed-length sequence packing in
+    one driver row (registry consolidation): per (doc, overlapping
+    sequence) row carrying the doc's shard_id (budget 2000) plus the
+    seq-64 split arithmetic.  Both run on the distributed prefix sum (no
+    global single-task window); oracle = plain global window cumsum +
+    LATERAL range explode in DuckDB."""
+    from rs_trafilatura_spark.operators.packing import (
+        pack_sequences, pack_shards,
+    )
 
-    return pack_shards(_docs(spark, sf_dir), budget_tokens=2000,
-                       bucket_width=64)
+    shards = pack_shards(_docs(spark, sf_dir), budget_tokens=2000,
+                         bucket_width=64)
+    seqs = pack_sequences(_docs(spark, sf_dir), seq_len=64,
+                          bucket_width=64)
+    return seqs.withColumnRenamed("n_tokens", "piece_tokens").join(
+        shards, "doc_id"
+    ).select(
+        "doc_id", "n_tokens", "shard_id",
+        "seq_id", "doc_off", "seq_off", "piece_tokens",
+    )
 
 
 def q_write_shards(spark, sf_dir):
@@ -2349,7 +2397,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "doc_fingerprint": (
-            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+            # fingerprint + 13-gram benchmark decontamination (benchmark
+            # = docs 0-4's texts): n_hits = |doc grams ∩ bench grams| as
+            # a STRING-set intersection — the Spark side must agree via
+            # its hashed-gram broadcast join
+            "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w, text "
+            "FROM documents), "
+            "g AS (SELECT doc_id, text, CASE WHEN len(w) < 13 "
+            "THEN [array_to_string(w, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(w) - 11), "
+            "i -> array_to_string(w[i:i+12], ' '))) END AS grams FROM w), "
+            "b AS (SELECT list_distinct(flatten(list(grams))) AS bg "
+            "FROM g WHERE doc_id < 5) "
+            "SELECT doc_id, md5(text) AS fingerprint, "
+            "CAST(len(list_intersect(grams, b.bg)) AS BIGINT) "
+            "AS n_contam_hits, "
+            "len(list_intersect(grams, b.bg)) > 0 "
+            "AS contaminated FROM g, b"
         ),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, source, "
@@ -2608,16 +2672,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": _simhash_pairs_sql(3),
         "pack_shards": (
             # the oracle is the naive GLOBAL window cumsum duckdb can afford
-            # at sf0.01; the Spark side must reproduce it with the bucketed
-            # distributed prefix sum (no single-task global window)
+            # at sf0.01 (the Spark side must use the bucketed distributed
+            # prefix sum — no single-task global window), plus the seq-64
+            # concat-and-chunk split as a LATERAL range explode
             "WITH t AS (SELECT doc_id, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
             "FROM documents), "
             "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
-            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
-            "SELECT doc_id, n_tokens, "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
+            "a AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
-            "FROM c"
+            "FROM c WHERE n_tokens > 0) "
+            "SELECT doc_id, n_tokens, shard_id, "
+            "CAST(s.seq_id AS BIGINT) AS seq_id, "
+            "CAST(GREATEST(strt, s.seq_id * 64) - strt AS BIGINT) "
+            "AS doc_off, "
+            "CAST(GREATEST(strt, s.seq_id * 64) - s.seq_id * 64 AS BIGINT) "
+            "AS seq_off, "
+            "CAST(LEAST(strt + n_tokens, (s.seq_id + 1) * 64) "
+            "- GREATEST(strt, s.seq_id * 64) AS BIGINT) AS piece_tokens "
+            "FROM a, LATERAL unnest(range(CAST(strt // 64 AS BIGINT), "
+            "CAST((strt + n_tokens - 1) // 64 + 1 AS BIGINT))) AS s(seq_id)"
         ),
         "write_shards": (
             # the writer's per-shard payload recomputed from the table:
@@ -2652,13 +2727,30 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT unnest(['native', 'foreign']) AS src) s"
         ),
         "mixture_weights": (
+            # weights + the deterministic downsample they drive: T =
+            # min_k(n_k * 1e6 // w_k), rate_k = least(1e6, T*w_k // n_k),
+            # survivor iff md5-prefix(doc_id) % 1e6 < rate_k — integer
+            # arithmetic end to end, so both engines keep the same docs
             "WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents "
             "GROUP BY source), "
             "n AS (SELECT source, n_docs, "
-            "CAST(floor(1000 * pow(n_docs, 0.5)) AS BIGINT) AS num FROM c) "
-            "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+            "CAST(floor(1000 * pow(n_docs, 0.5)) AS BIGINT) AS num FROM c), "
+            "w AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
             "CAST(floor(1000000 * num / (SELECT SUM(num) FROM n)) "
-            "AS BIGINT) AS weight_x1e6 FROM n"
+            "AS BIGINT) AS weight_x1e6 FROM n), "
+            "t AS (SELECT min(n_docs * 1000000 // weight_x1e6) AS tt "
+            "FROM w WHERE weight_x1e6 > 0), "
+            "r AS (SELECT source, n_docs, weight_x1e6, "
+            "LEAST(1000000, (SELECT tt FROM t) * weight_x1e6 // n_docs) "
+            "AS rate FROM w), "
+            "k AS (SELECT d.source, count(*) AS n_kept FROM documents d "
+            "JOIN r ON d.source = r.source "
+            "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), "
+            "1, 15))::UBIGINT % 1000000 AS BIGINT) < r.rate "
+            "GROUP BY d.source) "
+            "SELECT r.source, r.n_docs, r.weight_x1e6, "
+            "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
+            "FROM r LEFT JOIN k ON r.source = k.source"
         ),
         "gopher_quality": (
             # every Gopher signal recomputed with DuckDB list/regex

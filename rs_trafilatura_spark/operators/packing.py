@@ -264,7 +264,8 @@ def downsample_to_mixture(documents: DataFrame,
                           weights: DataFrame | None = None,
                           key: str = "source",
                           alpha_x100: int = 50,
-                          salt: int = 42) -> DataFrame:
+                          salt: int = 42,
+                          gate_col=None) -> DataFrame:
     """Deterministically downsample the corpus so per-``key`` proportions
     match the target mixture — the CONSUMPTION side of
     :func:`mixture_weights`.
@@ -278,7 +279,11 @@ def downsample_to_mixture(documents: DataFrame,
 
     ``weights``: a (key, weight_x1e6) frame (defaults to
     ``mixture_weights(documents, key, alpha_x100)``).  The head domain
-    (argmin n_k/w_k) keeps ~100% of its docs; everything else thins."""
+    (argmin n_k/w_k) keeps ~100% of its docs; everything else thins.
+
+    ``gate_col``: optional Column in [0, 1e6) replacing the default
+    xxhash64 gate — e.g. an md5-prefix gate when the survivor set must
+    be reproducible by engines without xxhash64."""
     if weights is None:
         weights = mixture_weights(documents, key=key, alpha_x100=alpha_x100)
     counts = {r[key]: r["n_docs"] for r in
@@ -297,7 +302,8 @@ def downsample_to_mixture(documents: DataFrame,
              for k, w in targets.items() if k in counts]
     spark = documents.sparkSession
     rate_df = spark.createDataFrame(rates, [key, "_rate_x1e6"])
-    gate = F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(1_000_000))
+    gate = (gate_col if gate_col is not None
+            else F.pmod(F.xxhash64("doc_id", F.lit(salt)), F.lit(1_000_000)))
     return (
         documents.join(F.broadcast(rate_df), key)
         .filter(gate < F.col("_rate_x1e6"))
