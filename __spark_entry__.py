@@ -14,6 +14,7 @@ kernel a DuckDB-checkable oracle (`SELECT ... text FROM documents`).
 from __future__ import annotations
 
 import os
+import re
 import sys
 import zipfile
 from collections.abc import Callable
@@ -1676,12 +1677,50 @@ def q_token_stats_full(spark, sf_dir):
     )
 
 
+# Planted repetition for the Gopher A1.2 signals: doc_id%4 picks a
+# deterministic suffix (repeated paragraph / spammy n-gram run / repeated
+# line / nothing) so every repetition signal fires on a known subset.
+# The oracle mirrors this CASE exactly.
+_REP_PARA = ("\n\nPlanted paragraph body here."
+             "\n\nPlanted paragraph body here.")
+_REP_SPAM = ("\nclick here click here click here click here click here"
+             " click here")
+_REP_LINE = "\nA planted duplicate line.\nA planted duplicate line."
+
+
+def _repetition_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    mod = F.col("doc_id") % 4
+    suffix = (
+        F.when(mod == 0, F.lit(_REP_PARA))
+        .when(mod == 1, F.lit(_REP_SPAM))
+        .when(mod == 2, F.lit(_REP_LINE))
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition filters (Rae et al. 2021 App. A1.2): duplicate
+    line/paragraph (char) fractions, top n-gram char fraction (n=2..4),
+    duplicated n-gram char fraction (n=5..10, overlap counted once) —
+    Arrow-batched map-only pass; oracle recomputes every signal with
+    DuckDB unnest/group-by positional SQL."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.textstats import gopher_repetition
+
+    return gopher_repetition(_repetition_docs(spark, sf_dir))
+
+
 def q_corpus_quality_rules(spark, sf_dir):
     """Gopher corpus-quality signals (Rae et al. 2021 App. A1.1) + C4
-    line-level cleaning (Raffel et al. 2020 section 2.2) joined per doc
-    over the same multi-line text."""
-    return q_gopher_quality(spark, sf_dir).join(
-        q_c4_lines(spark, sf_dir), "doc_id"
+    line-level cleaning (Raffel et al. 2020 section 2.2) + Gopher A1.2
+    repetition filters joined per doc (each family over its own
+    deterministic text variant)."""
+    return (
+        q_gopher_quality(spark, sf_dir)
+        .join(q_c4_lines(spark, sf_dir), "doc_id")
+        .join(q_gopher_repetition(spark, sf_dir), "doc_id")
     )
 
 
@@ -2243,6 +2282,125 @@ def _stop_cases(lang: str) -> str:
     return (
         f"len(list_filter(string_split(text, ' '), x -> x IN ({stops})))"
     )
+
+
+def _sql_lit(s: str) -> str:
+    """Embed a Python string as a DuckDB literal, newlines via chr(10)."""
+    return " || ".join(
+        "chr(10)" if part == "\n" else "'" + part.replace("'", "''") + "'"
+        for part in re.split(r"(\n)", s) if part
+    )
+
+
+def _repetition_oracle_sql() -> str:
+    """DuckDB recomputation of every gopher_repetition signal: planted
+    CASE suffix -> word/line/paragraph unnest -> per-doc group-by counts;
+    duplicated-n-gram coverage via DISTINCT (doc, position) expansion so
+    overlapping occurrences count each word once (the paper's rule).
+    Generated, not hand-written: one block per n keeps the two engines'
+    definitions provably identical to the Python pass in
+    operators/textstats.py::_repetition_row."""
+    parts = [
+        "docs AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER) "
+        "WHEN 0 THEN " + _sql_lit(_REP_PARA) + " "
+        "WHEN 1 THEN " + _sql_lit(_REP_SPAM) + " "
+        "WHEN 2 THEN " + _sql_lit(_REP_LINE) + " "
+        "ELSE '' END AS t FROM documents)",
+        "w AS (SELECT doc_id, "
+        "list_filter(regexp_split_to_array(t, '[ \\t\\n\\r]+'), "
+        "x -> len(x) > 0) AS words, "
+        "list_filter(string_split(t, chr(10)), l -> len(l) > 0) AS lines, "
+        "list_filter(string_split(t, chr(10) || chr(10)), "
+        "p -> len(p) > 0) AS paras FROM docs)",
+    ]
+    for unit, col in (("line", "lines"), ("para", "paras")):
+        parts.append(
+            f"{unit}c AS (SELECT doc_id, item, count(*) AS cnt FROM "
+            f"(SELECT doc_id, unnest({col}) AS item FROM w) "
+            "GROUP BY doc_id, item)"
+        )
+        parts.append(
+            f"{unit}agg AS (SELECT doc_id, "
+            "sum(cnt) AS n_items, sum(cnt * len(item)) AS item_chars, "
+            "sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup_n, "
+            "sum(CASE WHEN cnt >= 2 THEN cnt * len(item) ELSE 0 END) "
+            f"AS dup_chars FROM {unit}c GROUP BY doc_id)"
+        )
+    parts.append(
+        "wp AS (SELECT doc_id, unnest(words) AS word, "
+        "generate_subscripts(words, 1) AS i FROM w)"
+    )
+    parts.append(
+        "wagg AS (SELECT doc_id, count(*) AS n_words, "
+        "sum(len(word)) AS word_chars FROM wp GROUP BY doc_id)"
+    )
+    for n in range(2, 11):
+        parts.append(
+            f"g{n} AS (SELECT doc_id, i, array_to_string("
+            f"list_slice(words, i, i + {n - 1}), ' ') AS gram "
+            "FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i "
+            f"FROM w) WHERE i + {n - 1} <= len(words))"
+        )
+    for n in (2, 3, 4):
+        parts.append(
+            f"top{n} AS (SELECT doc_id, max(cnt * len(gram)) AS top_chars "
+            f"FROM (SELECT doc_id, gram, count(*) AS cnt FROM g{n} "
+            "GROUP BY doc_id, gram) GROUP BY doc_id)"
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        parts.append(
+            f"gc{n} AS (SELECT doc_id, gram FROM g{n} "
+            "GROUP BY doc_id, gram HAVING count(*) >= 2)"
+        )
+        parts.append(
+            f"cov{n} AS (SELECT c.doc_id, sum(len(wp.word)) AS cov_chars "
+            f"FROM (SELECT DISTINCT g.doc_id, g.i + t.o AS pos FROM g{n} g "
+            f"JOIN gc{n} d ON g.doc_id = d.doc_id AND g.gram = d.gram, "
+            f"generate_series(0, {n - 1}) t(o)) c "
+            "JOIN wp ON wp.doc_id = c.doc_id AND wp.i = c.pos "
+            "GROUP BY c.doc_id)"
+        )
+    sel = ["wagg.doc_id"]
+    for unit in ("line", "para"):
+        sel.append(
+            f"CAST(CASE WHEN COALESCE({unit}agg.n_items, 0) = 0 THEN 0 ELSE "
+            f"(1000 * COALESCE({unit}agg.dup_n, 0)) // {unit}agg.n_items "
+            f"END AS BIGINT) AS dup_{unit}_frac_x1000"
+        )
+        sel.append(
+            f"CAST(CASE WHEN COALESCE({unit}agg.item_chars, 0) = 0 THEN 0 "
+            f"ELSE (1000 * COALESCE({unit}agg.dup_chars, 0)) // "
+            f"{unit}agg.item_chars END AS BIGINT) AS dup_{unit}_char_x1000"
+        )
+    for n in (2, 3, 4):
+        sel.append(
+            f"CAST(CASE WHEN wagg.word_chars + wagg.n_words - 1 <= 0 THEN 0 "
+            f"ELSE (1000 * COALESCE(top{n}.top_chars, 0)) // "
+            "(wagg.word_chars + wagg.n_words - 1) END AS BIGINT) "
+            f"AS top{n}_char_x1000"
+        )
+    for n in (5, 6, 7, 8, 9, 10):
+        sel.append(
+            f"CAST(CASE WHEN COALESCE(wagg.word_chars, 0) = 0 THEN 0 ELSE "
+            f"(1000 * COALESCE(cov{n}.cov_chars, 0)) // wagg.word_chars "
+            f"END AS BIGINT) AS dup{n}_char_x1000"
+        )
+    joins = ["wagg",
+             "LEFT JOIN lineagg ON lineagg.doc_id = wagg.doc_id",
+             "LEFT JOIN paraagg ON paraagg.doc_id = wagg.doc_id"]
+    for n in (2, 3, 4):
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = wagg.doc_id")
+    for n in (5, 6, 7, 8, 9, 10):
+        joins.append(f"LEFT JOIN cov{n} ON cov{n}.doc_id = wagg.doc_id")
+    from rs_trafilatura_spark.operators.textstats import (
+        REPETITION_THRESHOLDS_X1000,
+    )
+    passexpr = " AND ".join(
+        f"{c} <= {t}" for c, t in REPETITION_THRESHOLDS_X1000.items()
+    )
+    inner = ("WITH " + ", ".join(parts) + " SELECT " + ", ".join(sel)
+             + " FROM " + " ".join(joins))
+    return (f"SELECT *, ({passexpr}) AS repetition_pass FROM ({inner})")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2971,7 +3129,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["corpus_quality_rules"] = (
         "SELECT * FROM (" + o.pop("gopher_quality") + ") gq JOIN ("
-        + o.pop("c4_lines") + ") c4 USING (doc_id)"
+        + o.pop("c4_lines") + ") c4 USING (doc_id) JOIN ("
+        + _repetition_oracle_sql() + ") rep USING (doc_id)"
     )
     o["text_quality_id"] = (
         "SELECT * FROM (" + o.pop("language_id") + ") li JOIN ("

@@ -263,3 +263,137 @@ def c4_line_filter(documents: DataFrame, min_line_words: int = 3,
         F.array_join(kept, "\n").alias("clean_text"),
         ((F.size(kept) >= min_kept_lines) & ~blocked).alias("page_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, App. A1.2): duplicate
+# line/paragraph fractions, top n-gram character fraction (n=2..4) and
+# duplicated n-gram character fraction (n=5..10).  These need a group-by
+# WITHIN each document (count equal lines/grams per doc), which Catalyst
+# higher-order functions can only express as an O(items^2) exists() scan —
+# so this one operator is an Arrow-batched pandas pass: map-only, zero
+# shuffles, O(words) per document, batch-bounded memory.  At 100 TB it is
+# the same plan shape as the extraction kernel itself (one narrow
+# mapInPandas stage; partition sizing via maxPartitionBytes applies).
+#
+# Deterministic, engine-exact definitions (mirrored by the DuckDB oracle):
+#   words       = text split on [ \t\n\r]+ (ASCII whitespace only — Python
+#                 re and RE2 agree on an explicit class; bare \s does not),
+#                 empty tokens dropped
+#   lines       = text split on \n, empty lines dropped
+#   paragraphs  = text split on \n\n (non-overlapping left-to-right),
+#                 empties dropped
+#   dup_line_frac       = occurrences of any line appearing >= 2x / n_lines
+#   dup_line_char_frac  = chars of those occurrences / chars of all lines
+#   (paragraph twins identical)
+#   top{n}_char_frac    = max over n-grams of count * len(gram) /
+#                         len(' '.join(words)); gram = words joined by ' '
+#                         (tie-robust: the max is over the products, not
+#                         argmax-then-product)
+#   dup{n}_char_frac    = chars of words covered by >= 1 occurrence of any
+#                         n-gram appearing >= 2x / chars of all words
+#                         (overlap counted once, per the paper)
+# All fractions ship as floor(1000*x) BIGINTs for bit-exact comparison.
+# Thresholds are the paper's Table A1 values; repetition_pass is the AND.
+
+REPETITION_THRESHOLDS_X1000 = {
+    "dup_line_frac_x1000": 300,
+    "dup_para_frac_x1000": 300,
+    "dup_line_char_x1000": 200,
+    "dup_para_char_x1000": 200,
+    "top2_char_x1000": 200,
+    "top3_char_x1000": 180,
+    "top4_char_x1000": 160,
+    "dup5_char_x1000": 150,
+    "dup6_char_x1000": 140,
+    "dup7_char_x1000": 130,
+    "dup8_char_x1000": 120,
+    "dup9_char_x1000": 110,
+    "dup10_char_x1000": 100,
+}
+
+_REP_COLS = list(REPETITION_THRESHOLDS_X1000)
+
+REPETITION_SCHEMA = (
+    "doc_id bigint, "
+    + ", ".join(f"{c} bigint" for c in _REP_COLS)
+    + ", repetition_pass boolean"
+)
+
+
+def _dup_fracs(items):
+    """(dup_count_frac_x1000, dup_char_frac_x1000) for a list of strings:
+    occurrences of values appearing >= 2 times."""
+    from collections import Counter
+
+    if not items:
+        return 0, 0
+    counts = Counter(items)
+    total_chars = sum(len(s) for s in items)
+    dup_n = sum(c for c in counts.values() if c >= 2)
+    dup_chars = sum(len(s) * c for s, c in counts.items() if c >= 2)
+    frac = (1000 * dup_n) // len(items)
+    cfrac = (1000 * dup_chars) // total_chars if total_chars else 0
+    return frac, cfrac
+
+
+def _repetition_row(text):
+    import re
+    from collections import Counter
+
+    lines = [l for l in text.split("\n") if l]
+    paras = [p for p in text.split("\n\n") if p]
+    words = [w for w in re.split(r"[ \t\n\r]+", text) if w]
+    out = {}
+    out["dup_line_frac_x1000"], out["dup_line_char_x1000"] = _dup_fracs(lines)
+    out["dup_para_frac_x1000"], out["dup_para_char_x1000"] = _dup_fracs(paras)
+    word_lens = [len(w) for w in words]
+    word_chars = sum(word_lens)
+    join_len = word_chars + max(len(words) - 1, 0)
+    for n in (2, 3, 4):
+        key = f"top{n}_char_x1000"
+        if len(words) < n or join_len == 0:
+            out[key] = 0
+            continue
+        grams = Counter(
+            " ".join(words[i:i + n]) for i in range(len(words) - n + 1)
+        )
+        top = max(cnt * len(g) for g, cnt in grams.items())
+        out[key] = (1000 * top) // join_len
+    for n in (5, 6, 7, 8, 9, 10):
+        key = f"dup{n}_char_x1000"
+        if len(words) < n or word_chars == 0:
+            out[key] = 0
+            continue
+        grams = Counter(
+            tuple(words[i:i + n]) for i in range(len(words) - n + 1)
+        )
+        covered = bytearray(len(words))
+        for i in range(len(words) - n + 1):
+            if grams[tuple(words[i:i + n])] >= 2:
+                for j in range(i, i + n):
+                    covered[j] = 1
+        cov_chars = sum(l for l, c in zip(word_lens, covered) if c)
+        out[key] = (1000 * cov_chars) // word_chars
+    out["repetition_pass"] = all(
+        out[c] <= t for c, t in REPETITION_THRESHOLDS_X1000.items()
+    )
+    return out
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Per-document Gopher repetition signals + composite pass flag.
+    One Arrow-batched mapInPandas stage over (doc_id, text) — no shuffle;
+    the narrow projection is pushed to the scan."""
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = [_repetition_row(t) for t in pdf["text"]]
+            res = pd.DataFrame(rows)
+            res.insert(0, "doc_id", pdf["doc_id"].values)
+            yield res
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, REPETITION_SCHEMA
+    )

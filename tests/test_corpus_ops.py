@@ -164,3 +164,67 @@ def test_extract_incremental_extracts_delta_only(spark):
     assert "replacement body" in out[changed_url]
     assert all(v == "CARRIED-MARKER" for u, v in out.items()
                if u != changed_url)
+
+
+def test_gopher_repetition_signals(spark):
+    """Rae et al. 2021 App. A1.2 repetition filters, hand-computed cases."""
+    from rs_trafilatura_spark.operators.textstats import gopher_repetition
+
+    # long enough that even the top (unique) 4-gram is < 16% of chars —
+    # the top-n-gram signals intentionally penalize very short docs
+    clean = " ".join(f"uniq{i:03d}" for i in range(80))
+    dup_lines = "alpha beta\nalpha beta\ngamma delta"
+    dup_paras = "para one body\n\npara one body\n\nunique tail"
+    spam = " ".join(["click here"] * 12)
+    rows = [(0, clean), (1, dup_lines), (2, dup_paras), (3, spam),
+            (4, ""), (5, "one two")]
+    out = {r["doc_id"]: r.asDict()
+           for r in gopher_repetition(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+
+    assert out[0]["repetition_pass"] is True
+    assert out[0]["dup5_char_x1000"] == 0
+
+    # 2 of 3 lines are dups -> 666; dup chars = 20 of 31
+    assert out[1]["dup_line_frac_x1000"] == 666
+    assert out[1]["dup_line_char_x1000"] == (1000 * 20) // 31
+    assert not out[1]["repetition_pass"]
+
+    # 2 of 3 paragraphs are dups
+    assert out[2]["dup_para_frac_x1000"] == 666
+    assert not out[2]["repetition_pass"]
+
+    # "click here" x12: the top 2-gram "click here" (10 chars) occurs 12
+    # times; join_len = 12*5 + 12*4 + 23 = 131; 120000 // 131 = 916
+    assert out[3]["top2_char_x1000"] == (1000 * 120) // 131
+    # every word is covered by a duplicated 5-gram
+    assert out[3]["dup5_char_x1000"] == 1000
+    assert not out[3]["repetition_pass"]
+
+    # degenerate inputs: no words / fewer words than any window
+    assert out[4]["repetition_pass"] is True
+    assert all(out[4][k] == 0 for k in out[4] if k.endswith("_x1000"))
+    assert out[5]["dup10_char_x1000"] == 0
+    # a 2-word doc IS its own top 2-gram (1000) — short docs fail the
+    # top-n-gram rules by design; Gopher gates on >= 50 words first
+    assert out[5]["top2_char_x1000"] == 1000
+    assert out[5]["repetition_pass"] is False
+
+
+def test_gopher_repetition_overlap_counted_once(spark):
+    """Overlapping occurrences of duplicated n-grams must not double-count
+    covered characters (the paper's rule)."""
+    from rs_trafilatura_spark.operators.textstats import _repetition_row
+
+    # "a b c d e" repeated: all words covered exactly once despite many
+    # overlapping duplicated 5-grams
+    t = "a b c d e a b c d e a b c d e"
+    r = _repetition_row(t)
+    assert r["dup5_char_x1000"] == 1000
+    # one duplicated 5-gram island inside otherwise-unique text
+    words = [f"w{i:02d}" for i in range(30)]
+    t2 = " ".join(words + ["x1 x2 x3 x4 x5"] * 2)
+    r2 = _repetition_row(t2)
+    # covered = the 10 gram words (2x5), chars = 10*2=20... wait each xN is
+    # 2 chars; total chars = 30*3 + 10*2 = 110; covered = 20
+    assert r2["dup5_char_x1000"] == (1000 * 20) // 110
