@@ -381,19 +381,29 @@ def _repetition_row(text):
     return out
 
 
-def gopher_repetition(documents: DataFrame) -> DataFrame:
+def gopher_repetition(documents: DataFrame,
+                      carry: tuple[str, ...] = ()) -> DataFrame:
     """Per-document Gopher repetition signals + composite pass flag.
     One Arrow-batched mapInPandas stage over (doc_id, text) — no shuffle;
-    the narrow projection is pushed to the scan."""
+    the narrow projection is pushed to the scan.  ``carry`` threads extra
+    input columns through the pass so a downstream filter needs no join
+    (the composed pipeline uses this to stay shuffle-free)."""
     import pandas as pd
+
+    carry = tuple(c for c in carry if c != "doc_id")
+    schema = REPETITION_SCHEMA + "".join(
+        f", {c} {documents.schema[c].dataType.simpleString()}"
+        for c in carry
+    )
 
     def batches(it):
         for pdf in it:
             rows = [_repetition_row(t) for t in pdf["text"]]
             res = pd.DataFrame(rows)
             res.insert(0, "doc_id", pdf["doc_id"].values)
+            for c in carry:
+                res[c] = pdf[c].values
             yield res
 
-    return documents.select("doc_id", "text").mapInPandas(
-        batches, REPETITION_SCHEMA
-    )
+    cols = ["doc_id", "text"] + [c for c in carry if c != "text"]
+    return documents.select(*cols).mapInPandas(batches, schema)

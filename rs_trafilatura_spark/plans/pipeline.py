@@ -3,6 +3,7 @@
     crawled pages
       -> extraction kernel + quality/language gates + exact dedup
       -> near-dup resolution (pairs / clusters / estimate)
+      -> Gopher repetition gate (optional, carry-through — joinless)
       -> benchmark decontamination
       -> per-host quota cap
       -> deterministic mixture downsampling
@@ -37,6 +38,7 @@ def pretraining_pipeline(
     benchmark: Optional[DataFrame] = None,
     decontam_n: int = 13,
     near_dup_method: str = "clusters",
+    repetition_filter: bool = False,
     min_quality: float = 0.5,
     min_chars: int = 200,
     languages: Optional[tuple[str, ...]] = None,
@@ -74,6 +76,18 @@ def pretraining_pipeline(
         F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
         F.col("content_text").alias("text"),
     )
+
+    if repetition_filter:
+        from ..operators.textstats import gopher_repetition
+
+        # carry= threads url/host/text through the Arrow pass so the
+        # gate filters in place — no join, no shuffle added
+        corpus = gopher_repetition(
+            corpus, carry=("url", "host", "text")
+        ).filter(F.col("repetition_pass")).select(
+            "doc_id", "url", "host", "text"
+        )
+        report.append(("after_repetition_filter", corpus.count()))
 
     if benchmark is not None:
         from ..operators.decontaminate import mark_contaminated

@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--decontam-n", type=int, default=13)
     ap.add_argument("--near-dup-method", default="clusters",
                     choices=("exact", "clusters", "estimate"))
+    ap.add_argument("--repetition-filter", action="store_true",
+                    help="drop docs failing the Gopher A1.2 repetition rules")
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument("--min-chars", type=int, default=200)
     ap.add_argument("--languages", default=None,
@@ -64,6 +66,7 @@ def main() -> None:
         benchmark=benchmark,
         decontam_n=args.decontam_n,
         near_dup_method=args.near_dup_method,
+        repetition_filter=args.repetition_filter,
         min_quality=args.min_quality,
         min_chars=args.min_chars,
         languages=(tuple(args.languages.split(","))

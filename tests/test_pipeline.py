@@ -31,6 +31,7 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
         spark, pages, Options(),
         benchmark=bench, decontam_n=13,
         near_dup_method="clusters",
+        repetition_filter=True,
         max_pages_per_host=50,
         seq_len=64,
         shard_budget_tokens=500,
@@ -39,9 +40,13 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
     try:
         report = dict(out["report"])
         assert report["after_curation_and_near_dup"] > 50
+        # the repetition gate ran and is bounded by the prior stage
+        assert report["after_repetition_filter"] \
+            <= report["after_curation_and_near_dup"]
+        assert report["after_repetition_filter"] > 0
         # decontamination dropped at least the benchmark-source docs
         assert report["after_decontamination"] \
-            < report["after_curation_and_near_dup"]
+            < report["after_repetition_filter"]
         assert report["after_host_quota"] <= report["after_decontamination"]
 
         corpus = out["corpus"]
