@@ -1724,10 +1724,29 @@ def q_corpus_quality_rules(spark, sf_dir):
     )
 
 
+def q_ccnet_lm(spark, sf_dir):
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020): self-trained
+    unigram counts -> integer floor-log2 surprisal per doc -> global
+    head/middle/tail thirds.  The oracle recomputes vocabulary, surprisal
+    and ntile in DuckDB; length(bin(cnt)) keeps the 'log' integer-exact
+    in both engines."""
+    _ensure_pyfiles(spark)
+    from rs_trafilatura_spark.operators.lm import ccnet_pipeline
+
+    return (
+        ccnet_pipeline(_docs(spark, sf_dir).select("doc_id", "text"))
+        .withColumnRenamed("n_tokens", "lm_n_tokens")
+        .withColumnRenamed("bucket", "ppl_bucket")
+    )
+
+
 def q_text_quality_id(spark, sf_dir):
-    """Language-ID hits/guess + quality-score signals joined per doc."""
-    return q_language_id(spark, sf_dir).join(
-        q_quality_score(spark, sf_dir), "doc_id"
+    """Language-ID hits/guess + quality-score signals + CCNet LM
+    surprisal/bucket joined per doc."""
+    return (
+        q_language_id(spark, sf_dir)
+        .join(q_quality_score(spark, sf_dir), "doc_id")
+        .join(q_ccnet_lm(spark, sf_dir), "doc_id")
     )
 
 
@@ -2401,6 +2420,30 @@ def _repetition_oracle_sql() -> str:
     inner = ("WITH " + ", ".join(parts) + " SELECT " + ", ".join(sel)
              + " FROM " + " ".join(joins))
     return (f"SELECT *, ({passexpr}) AS repetition_pass FROM ({inner})")
+
+
+def _ccnet_oracle_sql() -> str:
+    """DuckDB twin of operators/lm.py::ccnet_pipeline over documents:
+    unigram vocab -> floor-log2 surprisal (length(bin(cnt)) — identical
+    string semantics in Spark and DuckDB) -> exact global ntile(3)."""
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '[ \\t\\n\\r]+'), "
+        "x -> len(x) > 0)) AS token FROM documents), "
+        "vocab AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token), "
+        "tot AS (SELECT length(bin(sum(cnt))) AS bits_n FROM vocab), "
+        "scored AS (SELECT t.doc_id, "
+        "(SELECT bits_n FROM tot) - length(bin(v.cnt)) AS bits "
+        "FROM tok t JOIN vocab v USING (token)), "
+        "agg AS (SELECT doc_id, count(*) AS lm_n_tokens, "
+        "CAST((1000 * sum(bits)) // count(*) AS BIGINT) "
+        "AS surprisal_x1000 FROM scored GROUP BY doc_id), "
+        "b AS (SELECT *, ntile(3) OVER "
+        "(ORDER BY surprisal_x1000, doc_id) AS tile FROM agg) "
+        "SELECT doc_id, CAST(lm_n_tokens AS BIGINT) AS lm_n_tokens, "
+        "surprisal_x1000, CASE tile WHEN 1 THEN 'head' WHEN 2 THEN "
+        "'middle' ELSE 'tail' END AS ppl_bucket FROM b"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3134,7 +3177,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_quality_id"] = (
         "SELECT * FROM (" + o.pop("language_id") + ") li JOIN ("
-        + o.pop("quality_score") + ") qs USING (doc_id)"
+        + o.pop("quality_score") + ") qs USING (doc_id) JOIN ("
+        + _ccnet_oracle_sql() + ") lm USING (doc_id)"
     )
     o["multimodal_image_pipeline"] = (
         "SELECT * FROM (" + o.pop("multimodal_image_meta") + ") mm JOIN ("

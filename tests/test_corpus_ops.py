@@ -228,3 +228,39 @@ def test_gopher_repetition_overlap_counted_once(spark):
     # covered = the 10 gram words (2x5), chars = 10*2=20... wait each xN is
     # 2 chars; total chars = 30*3 + 10*2 = 110; covered = 20
     assert r2["dup5_char_x1000"] == (1000 * 20) // 110
+
+
+def test_ccnet_lm_surprisal_and_buckets(spark):
+    """Integer floor-log2 surprisal: hand-computed counts, OOV cost,
+    bucket ordering, and the map-only threshold variant."""
+    from rs_trafilatura_spark.operators.lm import (
+        bucket_by_thresholds, ccnet_pipeline, lm_surprisal,
+        train_token_counts,
+    )
+
+    # corpus: "a" x7, "b" x2, "c" x1  -> N=10, bitlen(N)=4
+    rows = [(0, "a a a a"), (1, "a a a b"), (2, "b c")]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    vocab = {r["token"]: r["cnt"]
+             for r in train_token_counts(corpus).collect()}
+    assert vocab == {"a": 7, "b": 2, "c": 1}
+
+    out = {r["doc_id"]: r.asDict()
+           for r in ccnet_pipeline(corpus).collect()}
+    # bits: a -> 4-3=1, b -> 4-2=2, c -> 4-1=3
+    assert out[0]["surprisal_x1000"] == 1000          # mean(1,1,1,1)
+    assert out[1]["surprisal_x1000"] == (1000 * 5) // 4
+    assert out[2]["surprisal_x1000"] == (1000 * 5) // 2
+    # ascending surprisal => doc0 head, doc1 middle, doc2 tail
+    assert [out[i]["bucket"] for i in (0, 1, 2)] == \
+        ["head", "middle", "tail"]
+
+    # scoring a foreign doc: OOV tokens cost bitlen(N) = 4 bits
+    foreign = spark.createDataFrame([(9, "a zzz")], ["doc_id", "text"])
+    sc = lm_surprisal(
+        foreign, train_token_counts(corpus), 10).collect()[0]
+    assert sc["surprisal_x1000"] == (1000 * (1 + 4)) // 2
+
+    th = {r["doc_id"]: r["bucket"] for r in bucket_by_thresholds(
+        ccnet_pipeline(corpus).drop("bucket"), 1000, 1500).collect()}
+    assert th == {0: "head", 1: "middle", 2: "tail"}
