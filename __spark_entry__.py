@@ -952,11 +952,25 @@ def q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") < 5).select("text")
     hits = contamination_hits(docs, bench, n=13)
-    return fingerprint(docs).join(hits, "doc_id", "left").select(
+    base = fingerprint(docs).join(hits, "doc_id", "left").select(
         "doc_id", "fingerprint",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contam_hits"),
         F.col("n_hits").isNotNull().alias("contaminated"),
     )
+    # DSIR importance scores against the same 5-doc benchmark as the
+    # target distribution (Xie et al. 2023): hashed unigram+bigram
+    # buckets, integer floor-log2 LLR, exact top-30% selection
+    from rs_trafilatura_spark.operators.dsir import (
+        dsir_scores, hashed_bucket_counts, select_top_frac,
+    )
+
+    target = hashed_bucket_counts(docs.filter(F.col("doc_id") < 5))
+    raw = hashed_bucket_counts(docs)
+    scored = select_top_frac(
+        dsir_scores(docs, target, raw), frac_x100=30,
+        total=docs.count(),
+    ).withColumnRenamed("selected", "dsir_selected")
+    return base.join(scored, "doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2446,6 +2460,44 @@ def _ccnet_oracle_sql() -> str:
     )
 
 
+def _dsir_oracle_sql() -> str:
+    """DuckDB twin of operators/dsir.py over documents: unigram+bigram
+    stream -> md5-hex bucket (CAST('0x'||substr(md5,1,8)) — same integer
+    as Spark's conv(substring(md5,1,8),16,10)) -> add-one floor-log2 LLR
+    vs the docs<5 target -> exact top-30% by (score desc, doc_id)."""
+    return (
+        "WITH wp AS (SELECT doc_id, unnest(words) AS word, "
+        "generate_subscripts(words, 1) AS i FROM "
+        "(SELECT doc_id, list_filter(regexp_split_to_array(text, "
+        "'[ \\t\\n\\r]+'), x -> len(x) > 0) AS words FROM documents)), "
+        "bg AS (SELECT doc_id, word || ' ' || "
+        "lead(word) OVER (PARTITION BY doc_id ORDER BY i) AS gram "
+        "FROM wp), "
+        "grams AS (SELECT doc_id, word AS gram FROM wp UNION ALL "
+        "SELECT doc_id, gram FROM bg WHERE gram IS NOT NULL), "
+        "bk AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 8)) "
+        "AS BIGINT) % 10000 AS bucket FROM grams), "
+        "tc AS (SELECT bucket, count(*) AS cnt FROM bk "
+        "WHERE doc_id < 5 GROUP BY bucket), "
+        "rc AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY bucket), "
+        "scored AS (SELECT bk.doc_id, "
+        "(length(bin(COALESCE(tc.cnt, 0) + 1)) "
+        "- (SELECT length(bin(sum(cnt))) FROM tc)) "
+        "- (length(bin(COALESCE(rc.cnt, 0) + 1)) "
+        "- (SELECT length(bin(sum(cnt))) FROM rc)) AS llr "
+        "FROM bk LEFT JOIN tc USING (bucket) "
+        "LEFT JOIN rc USING (bucket)), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(floor(1000.0 * sum(llr) / count(*)) AS BIGINT) "
+        "AS dsir_score_x1000 FROM scored GROUP BY doc_id), "
+        "rnk AS (SELECT *, row_number() OVER "
+        "(ORDER BY dsir_score_x1000 DESC, doc_id) AS rn FROM agg) "
+        "SELECT doc_id, n_grams, dsir_score_x1000, "
+        "rn <= (SELECT (count(*) * 30) // 100 FROM documents) "
+        "AS dsir_selected FROM rnk"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     en, de, fr, es = (_stop_cases(l) for l in ("en", "de", "fr", "es"))
     # exact top-k / exact knn oracles double as the oracles for the
@@ -2616,6 +2668,7 @@ def oracle_sql() -> dict[str, str]:
             "len(list_intersect(grams, b.bg)) > 0 "
             "AS contaminated FROM g, b"
         ),
+        "dsir_importance": _dsir_oracle_sql(),
         "ngram_jaccard": (
             "WITH w AS (SELECT doc_id, source, "
             "list_distinct(string_split(text, ' ')) AS words FROM documents) "
@@ -3169,6 +3222,10 @@ def oracle_sql() -> dict[str, str]:
     o["token_stats_full"] = (
         "SELECT * FROM (" + o.pop("token_stats") + ") ts JOIN ("
         + o.pop("bpe_token_stats") + ") bp USING (doc_id)"
+    )
+    o["doc_fingerprint"] = (
+        "SELECT * FROM (" + o.pop("doc_fingerprint") + ") fp JOIN ("
+        + o.pop("dsir_importance") + ") ds USING (doc_id)"
     )
     o["corpus_quality_rules"] = (
         "SELECT * FROM (" + o.pop("gopher_quality") + ") gq JOIN ("

@@ -264,3 +264,47 @@ def test_ccnet_lm_surprisal_and_buckets(spark):
     th = {r["doc_id"]: r["bucket"] for r in bucket_by_thresholds(
         ccnet_pipeline(corpus).drop("bucket"), 1000, 1500).collect()}
     assert th == {0: "head", 1: "middle", 2: "tail"}
+
+
+def test_dsir_importance_scoring(spark):
+    """DSIR (Xie et al. 2023): target-like docs must outrank unrelated
+    ones; gram stream is unigrams + bigrams; selection is deterministic."""
+    from rs_trafilatura_spark.operators.dsir import (
+        dsir_scores, hashed_bucket_counts, select_by_threshold,
+        select_top_frac,
+    )
+
+    target_txt = "feline cat whiskers purr feline cat purr"
+    rows = [
+        (0, target_txt),                       # identical to target
+        (1, "feline cat purr nearby"),         # shares target grams
+        (2, "quantum flux capacitor array"),   # unrelated
+        (3, "zeppelin brass condor"),          # unrelated
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = docs.filter(F.col("doc_id") == 0).select("text") \
+        .withColumn("doc_id", F.lit(0)).select("doc_id", "text")
+    t_counts = hashed_bucket_counts(target)
+    r_counts = hashed_bucket_counts(docs)
+    scored = {r["doc_id"]: r.asDict()
+              for r in dsir_scores(docs, t_counts, r_counts).collect()}
+    # unigrams + bigrams: 2w-1 grams per doc
+    assert scored[0]["n_grams"] == 2 * 7 - 1
+    assert scored[2]["n_grams"] == 2 * 4 - 1
+    # target-like docs above unrelated docs
+    assert scored[0]["dsir_score_x1000"] > scored[2]["dsir_score_x1000"]
+    assert scored[1]["dsir_score_x1000"] > scored[3]["dsir_score_x1000"]
+
+    sel = {r["doc_id"]: r["selected"]
+           for r in select_top_frac(
+               dsir_scores(docs, t_counts, r_counts),
+               frac_x100=50, total=4).collect()}
+    assert sum(sel.values()) == 2 and sel[0] and sel[1]
+
+    # map-only variant with a data-derived cutoff (the sampled-threshold
+    # path): exactly the docs at/above doc0's score survive
+    th = select_by_threshold(
+        dsir_scores(docs, t_counts, r_counts),
+        scored[0]["dsir_score_x1000"])
+    got = {r["doc_id"]: r["selected"] for r in th.collect()}
+    assert got[0] and not got[2] and not got[3]
