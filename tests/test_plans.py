@@ -81,3 +81,54 @@ def test_capped_per_key_no_global_sort(spark):
     )
     plan = _plan(capped_per_key(docs, "host", n=3, order_cols=("doc_id",)))
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_gopher_repetition_is_shuffle_free_and_prunes(spark):
+    """The repetition pass is one mapInPandas over (doc_id, text):
+    at 100 TB any Exchange here would reshuffle the full text corpus
+    for no reason, and the scan must not read html/lang."""
+    from rs_trafilatura_spark.operators.textstats import gopher_repetition
+
+    out = gopher_repetition(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    read_schema = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_lm_surprisal_broadcasts_vocab(spark):
+    """The vocabulary join must be a broadcast: a sort-merge join here
+    would shuffle the exploded token stream (O(corpus tokens) rows)
+    on the token key."""
+    from rs_trafilatura_spark.operators.lm import (
+        lm_surprisal, train_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * 4) for i in range(40)],
+        ["doc_id", "text"])
+    plan = _plan(lm_surprisal(docs, train_token_counts(docs), 480))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # doc_id agg combines map-side before its shuffle
+    assert "partial_" in plan
+
+
+def test_dsir_scores_broadcasts_both_count_tables(spark):
+    """DSIR joins the gram stream against target and raw bucket counts:
+    both are O(buckets) and must broadcast — any sort-merge join would
+    shuffle the exploded gram stream twice."""
+    from rs_trafilatura_spark.operators.dsir import (
+        dsir_scores, hashed_bucket_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(40)],
+        ["doc_id", "text"])
+    target = hashed_bucket_counts(docs.filter(F.col("doc_id") < 5))
+    raw = hashed_bucket_counts(docs)
+    plan = _plan(dsir_scores(docs, target, raw))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
