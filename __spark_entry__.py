@@ -880,10 +880,34 @@ def q_extract_stage_metrics(spark, sf_dir):
     return stage_metrics(out).select("stage", "n_pages")
 
 
-def q_dedup_exact(spark, sf_dir):
-    from rs_trafilatura_spark.operators.dedup import dedup_exact
+# planted cross-document duplicate paragraph so paragraph_dedup provably
+# bites: docs with doc_id%5 in {0,1} share this exact footer paragraph
+_SHARED_PARA = "\n\nShared footer paragraph planted for corpus dedup."
 
-    return dedup_exact(_docs(spark, sf_dir))
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact page dedup + Dolma-style corpus-wide paragraph dedup in one
+    row: each keep_id joins its paragraph-dedup audit (clean_text with
+    non-canonical duplicate paragraphs removed, first occurrence by
+    (doc_id, position) wins — the oracle re-picks canonicals with a
+    row_number window)."""
+    from rs_trafilatura_spark.operators.dedup import (
+        dedup_exact, paragraph_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 < 2,
+               F.concat(F.col("text"), F.lit(_SHARED_PARA)))
+        .otherwise(F.col("text")),
+    )
+    pd_audit = paragraph_dedup(planted)
+    return dedup_exact(docs).join(
+        pd_audit.withColumnRenamed("doc_id", "keep_id")
+        .withColumnRenamed("clean_text", "para_clean_text"),
+        "keep_id",
+    )
 
 
 def q_token_stats(spark, sf_dir):
@@ -2578,8 +2602,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents"
         ),
         "dedup_exact": (
-            "SELECT min(doc_id) AS keep_id, count(*) AS n_copies "
-            "FROM documents GROUP BY text"
+            "WITH de AS (SELECT min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY text), "
+            "m AS (SELECT doc_id, text || CASE WHEN doc_id % 5 < 2 THEN "
+            + _sql_lit(_SHARED_PARA) + " ELSE '' END AS t FROM documents), "
+            "p AS (SELECT doc_id, unnest(ps) AS para, "
+            "generate_subscripts(ps, 1) AS idx FROM "
+            "(SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps "
+            "FROM m)), "
+            "k AS (SELECT doc_id, idx, para, "
+            "(len(trim(para)) < 1) AS triv, "
+            "row_number() OVER (PARTITION BY len(trim(para)) < 1, "
+            "md5(para) ORDER BY doc_id, idx) AS rn FROM p), "
+            "reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(para, chr(10) || chr(10) ORDER BY idx) "
+            "AS para_clean_text FROM k WHERE triv OR rn = 1 "
+            "GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(len(string_split(t, "
+            "chr(10) || chr(10))) AS BIGINT) AS n_paras FROM m) "
+            "SELECT de.keep_id, de.n_copies, tot.n_paras, "
+            "COALESCE(reb.n_kept, 0) AS n_kept, "
+            "COALESCE(reb.para_clean_text, '') AS para_clean_text "
+            "FROM de JOIN tot ON tot.doc_id = de.keep_id "
+            "LEFT JOIN reb ON reb.doc_id = de.keep_id"
         ),
         "token_stats": (
             "SELECT doc_id, "

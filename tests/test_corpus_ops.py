@@ -308,3 +308,29 @@ def test_dsir_importance_scoring(spark):
         scored[0]["dsir_score_x1000"])
     got = {r["doc_id"]: r["selected"] for r in th.collect()}
     assert got[0] and not got[2] and not got[3]
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """Dolma-style corpus paragraph dedup: canonical = smallest
+    (doc_id, position); trivial (empty) paragraphs never dedup."""
+    from rs_trafilatura_spark.operators.dedup import paragraph_dedup
+
+    shared = "This exact footer appears on every page."
+    rows = [
+        (0, f"Doc zero body.\n\n{shared}"),
+        (1, f"{shared}\n\nDoc one body."),
+        (2, f"Doc two body.\n\n{shared}\n\n{shared}"),
+        # empty paragraphs (double blank line) survive everywhere
+        (3, "A.\n\n\n\nB."),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in paragraph_dedup(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    # doc 0 holds the canonical occurrence
+    assert out[0]["clean_text"] == f"Doc zero body.\n\n{shared}"
+    assert out[1]["clean_text"] == "Doc one body."
+    assert out[2]["clean_text"] == "Doc two body."
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
+    # the empty middle paragraph is structural, not a dup
+    assert out[3]["clean_text"] == "A.\n\n\n\nB."
+    assert out[3]["n_kept"] == 3

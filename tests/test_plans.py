@@ -132,3 +132,20 @@ def test_dsir_scores_broadcasts_both_count_tables(spark):
     plan = _plan(dsir_scores(docs, target, raw))
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_paragraph_dedup_avoids_hash_window(spark):
+    """Canonical-paragraph selection must be a partial-aggregated groupBy,
+    not a row_number window over the paragraph hash: a window sends every
+    instance of a hot paragraph (site footers repeat 10^9 times) to one
+    task; the partial min collapses them map-side."""
+    from rs_trafilatura_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha.\n\nshared footer.\n\nbody %d." % i)
+         for i in range(30)], ["doc_id", "text"])
+    plan = _plan(paragraph_dedup(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_min" in plan or "partial_" in plan, plan
+    # no window operator anywhere in this plan
+    assert "Window" not in plan, plan
