@@ -1072,13 +1072,34 @@ def q_per_host_quota(spark, sf_dir):
     DuckDB's flat row_number()."""
     from rs_trafilatura_spark.operators.windows import capped_per_key
 
+    from rs_trafilatura_spark.operators.urlfilter import url_filter
+
     hosted = _docs(spark, sf_dir).select(
         "doc_id", _zipf_host().alias("host")
     )
-    return capped_per_key(hosted, "host", n=5,
-                          order_cols=("doc_id",)).select(
+    capped = capped_per_key(hosted, "host", n=5,
+                            order_cols=("doc_id",)).select(
         "host", F.col("rank").cast("long").alias("rank"), "doc_id"
     )
+    # URL-rule audit folded into the same row: deterministic doc_id%4
+    # path classes exercise every rule (clean / spam keyword / blocked
+    # extension / double keyword), and the hot zipf host is blocklisted
+    mod = F.col("doc_id") % 4
+    ds = F.col("doc_id").cast("string")
+    path = (
+        F.when(mod == 0, F.concat(F.lit("/blog/post-"), ds))
+        .when(mod == 1, F.concat(F.lit("/casino/win-"), ds))
+        .when(mod == 2, F.concat(F.lit("/static/app-"), ds, F.lit(".js")))
+        .otherwise(F.concat(F.lit("/go-lottery-"), ds, F.lit("-xxx")))
+    )
+    with_urls = hosted.withColumn(
+        "url", F.concat(F.lit("https://"), F.col("host"), path)
+    )
+    audit = url_filter(
+        with_urls, blocked_domains=("h0.example",)
+    ).select("doc_id", "url", "domain_blocked", "url_kw_hits",
+             "ext_blocked", "url_ok")
+    return capped.join(audit, "doc_id")
 
 
 def _revisions(spark, sf_dir):
@@ -3103,9 +3124,32 @@ def oracle_sql() -> dict[str, str]:
             "THEN 0 ELSE doc_id % 37 END AS VARCHAR) || '.example' AS host "
             "FROM documents), "
             "r AS (SELECT host, doc_id, row_number() OVER "
-            "(PARTITION BY host ORDER BY doc_id) AS rank FROM h) "
-            "SELECT host, CAST(rank AS BIGINT) AS rank, doc_id FROM r "
-            "WHERE rank <= 5"
+            "(PARTITION BY host ORDER BY doc_id) AS rank FROM h), "
+            "u AS (SELECT doc_id, 'https://' || host || "
+            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "WHEN 0 THEN '/blog/post-' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN '/casino/win-' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN '/static/app-' || CAST(doc_id AS VARCHAR) "
+            "|| '.js' "
+            "ELSE '/go-lottery-' || CAST(doc_id AS VARCHAR) || '-xxx' "
+            "END AS url, host FROM h), "
+            "a AS (SELECT doc_id, url, "
+            "(host = 'h0.example' OR host LIKE '%.h0.example') "
+            "AS domain_blocked, "
+            "CAST((CASE WHEN contains(url, 'casino') THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN contains(url, 'xxx') THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN contains(url, 'viagra') THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN contains(url, 'lottery') THEN 1 ELSE 0 END) "
+            "+ (CASE WHEN contains(url, 'webcam') THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS url_kw_hits, "
+            "regexp_matches(url, '\\.(js|css|json|xml|rss|atom|jpg|jpeg"
+            "|png|gif|webp|svg|ico|mp3|mp4|avi|zip|gz|tar|exe|dmg|apk"
+            "|woff2?)$') AS ext_blocked FROM u) "
+            "SELECT r.host, CAST(r.rank AS BIGINT) AS rank, r.doc_id, "
+            "a.url, a.domain_blocked, a.url_kw_hits, a.ext_blocked, "
+            "(NOT a.domain_blocked AND a.url_kw_hits = 0 "
+            "AND NOT a.ext_blocked) AS url_ok "
+            "FROM r JOIN a ON a.doc_id = r.doc_id WHERE r.rank <= 5"
         ),
         "latest_revision": (
             "WITH p AS (SELECT 'https://rev.example/u' || "

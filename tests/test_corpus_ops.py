@@ -334,3 +334,27 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     # the empty middle paragraph is structural, not a dup
     assert out[3]["clean_text"] == "A.\n\n\n\nB."
     assert out[3]["n_kept"] == 3
+
+
+def test_url_filter_rules(spark):
+    """C4/FineWeb URL gates: domain blocklist (with subdomains), spam
+    keywords, non-content extensions."""
+    from rs_trafilatura_spark.operators.urlfilter import url_filter
+
+    rows = [
+        (0, "https://good.example/blog/a-fine-post"),
+        (1, "https://sub.badware.example/anything"),
+        (2, "https://site.example/casino-night-xxx"),
+        (3, "https://cdn.example/static/bundle.js"),
+        (4, "https://badware.example.evil/page"),  # NOT a subdomain match
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in url_filter(
+               spark.createDataFrame(rows, ["doc_id", "url"])).collect()}
+    assert out[0]["url_ok"] is True
+    assert out[1]["domain_blocked"] and not out[1]["url_ok"]
+    assert out[2]["url_kw_hits"] == 2 and not out[2]["url_ok"]
+    assert out[3]["ext_blocked"] and not out[3]["url_ok"]
+    # suffix match must anchor on a dot boundary of the domain, and
+    # 'badware.example.evil' is a different registrable domain
+    assert not out[4]["domain_blocked"] and out[4]["url_ok"]
