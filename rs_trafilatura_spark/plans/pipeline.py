@@ -1,10 +1,13 @@
 """The full pretraining-data pipeline as ONE composed plan:
 
     crawled pages
+      -> URL rules (optional: blocklist/keywords/extensions, pre-parse)
       -> extraction kernel + quality/language gates + exact dedup
       -> near-dup resolution (pairs / clusters / estimate)
       -> Gopher repetition gate (optional, carry-through — joinless)
+      -> corpus-wide paragraph dedup (optional)
       -> benchmark decontamination
+      -> CCNet perplexity buckets / DSIR target selection (optional)
       -> per-host quota cap
       -> deterministic mixture downsampling
       -> fixed-length sequence assignment OR token-budget shards on disk
@@ -39,6 +42,11 @@ def pretraining_pipeline(
     decontam_n: int = 13,
     near_dup_method: str = "clusters",
     repetition_filter: bool = False,
+    url_rules: bool = False,
+    dedup_paragraphs: bool = False,
+    ccnet_keep: Optional[tuple[str, ...]] = None,
+    dsir_target: Optional[DataFrame] = None,
+    dsir_top_frac_x100: int = 50,
     min_quality: float = 0.5,
     min_chars: int = 200,
     languages: Optional[tuple[str, ...]] = None,
@@ -61,6 +69,15 @@ def pretraining_pipeline(
     curation cache contract (mark_near_duplicates owns the persist of
     the wide extraction output; call release_cache() when done)."""
     report: list[tuple[str, int]] = []
+
+    if url_rules:
+        from ..operators.urlfilter import url_filter
+
+        # cheapest gate in the pipeline: drop blocked urls BEFORE any
+        # HTML byte is parsed (pure codegen map pass)
+        audited = url_filter(pages)
+        pages = audited.filter(F.col("url_ok")).select(*pages.columns)
+        report.append(("after_url_rules", pages.count()))
 
     curated = curate_pages(
         spark, pages, options,
@@ -89,12 +106,52 @@ def pretraining_pipeline(
         )
         report.append(("after_repetition_filter", corpus.count()))
 
+    if dedup_paragraphs:
+        from ..operators.dedup import paragraph_dedup
+
+        pd_audit = paragraph_dedup(corpus).select("doc_id", "clean_text")
+        corpus = (
+            corpus.join(pd_audit, "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.length("text") > 0)
+        )
+        report.append(("after_paragraph_dedup", corpus.count()))
+
     if benchmark is not None:
         from ..operators.decontaminate import mark_contaminated
 
         corpus = mark_contaminated(corpus, benchmark, n=decontam_n) \
             .filter(~F.col("contaminated")).drop("contaminated")
         report.append(("after_decontamination", corpus.count()))
+
+    if ccnet_keep is not None:
+        from ..operators.lm import ccnet_pipeline
+
+        # exact-thirds configuration; at web scale fit the cutoffs on a
+        # sample and use bucket_by_thresholds instead (operators/lm.py)
+        buckets = ccnet_pipeline(corpus).select("doc_id", "bucket")
+        corpus = corpus.join(
+            buckets.filter(F.col("bucket").isin(*ccnet_keep))
+            .select("doc_id"),
+            "doc_id",
+        )
+        report.append(("after_ccnet_buckets", corpus.count()))
+
+    if dsir_target is not None:
+        from ..operators.dsir import (
+            dsir_scores, hashed_bucket_counts, select_top_frac,
+        )
+
+        t_counts = hashed_bucket_counts(dsir_target)
+        r_counts = hashed_bucket_counts(corpus)
+        total = corpus.count()
+        picked = select_top_frac(
+            dsir_scores(corpus, t_counts, r_counts),
+            frac_x100=dsir_top_frac_x100, total=total,
+        ).filter(F.col("selected")).select("doc_id")
+        corpus = corpus.join(picked, "doc_id")
+        report.append(("after_dsir_selection", corpus.count()))
 
     if max_pages_per_host is not None:
         from ..operators.windows import capped_per_key

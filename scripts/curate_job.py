@@ -37,6 +37,15 @@ def main() -> None:
     ap.add_argument("--decontam-n", type=int, default=13)
     ap.add_argument("--near-dup-method", default="clusters",
                     choices=("exact", "clusters", "estimate"))
+    ap.add_argument("--url-rules", action="store_true",
+                    help="apply URL blocklist/keyword/extension gates before extraction")
+    ap.add_argument("--dedup-paragraphs", action="store_true",
+                    help="corpus-wide duplicate-paragraph removal")
+    ap.add_argument("--ccnet-keep", default=None,
+                    help="comma list of CCNet buckets to keep, e.g. head,middle")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of (doc_id, text) target corpus for DSIR selection")
+    ap.add_argument("--dsir-top-frac", type=int, default=50)
     ap.add_argument("--repetition-filter", action="store_true",
                     help="drop docs failing the Gopher A1.2 repetition rules")
     ap.add_argument("--min-quality", type=float, default=0.5)
@@ -67,6 +76,13 @@ def main() -> None:
         decontam_n=args.decontam_n,
         near_dup_method=args.near_dup_method,
         repetition_filter=args.repetition_filter,
+        url_rules=args.url_rules,
+        dedup_paragraphs=args.dedup_paragraphs,
+        ccnet_keep=(tuple(args.ccnet_keep.split(','))
+                    if args.ccnet_keep else None),
+        dsir_target=(spark.read.parquet(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_top_frac_x100=args.dsir_top_frac,
         min_quality=args.min_quality,
         min_chars=args.min_chars,
         languages=(tuple(args.languages.split(","))

@@ -72,3 +72,68 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
             assert len(payload.decode().splitlines()) == m["n_docs"]
     finally:
         release_cache()
+
+
+def test_pipeline_selection_stages(spark):
+    """url rules + paragraph dedup + CCNet buckets + DSIR selection as
+    composed stages: every stage bounded by its predecessor, report rows
+    in order, final corpus consistent."""
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+    from rs_trafilatura_spark.plans.curate import release_cache
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+
+    pages = generate_pages_df(spark, n_rows=60)
+    # target = a handful of real pages' pages (self-similar selection)
+    out = pretraining_pipeline(
+        spark, pages, Options(),
+        url_rules=True,
+        dedup_paragraphs=True,
+        ccnet_keep=("head", "middle"),
+        dsir_target=None,
+        near_dup_method="clusters",
+    )
+    try:
+        report = dict(out["report"])
+        assert report["after_url_rules"] == 60  # synthetic urls are clean
+        n0 = report["after_curation_and_near_dup"]
+        assert report["after_paragraph_dedup"] <= n0
+        # thirds: head+middle keeps ~2/3
+        n_pd = report["after_paragraph_dedup"]
+        n_cc = report["after_ccnet_buckets"]
+        assert n_cc == (2 * n_pd) // 3 + (1 if n_pd % 3 == 2 else 0) or \
+            n_cc <= n_pd  # exact ntile split; at minimum it's bounded
+        assert out["corpus"].count() == n_cc
+        # stage order in the report
+        names = [s for s, _ in out["report"]]
+        assert names.index("after_url_rules") < \
+            names.index("after_paragraph_dedup") < \
+            names.index("after_ccnet_buckets")
+    finally:
+        release_cache()
+
+
+def test_pipeline_dsir_stage(spark):
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+    from rs_trafilatura_spark.plans.curate import release_cache
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.kernel import extract_bytes
+
+    pages = generate_pages_df(spark, n_rows=40)
+    sample = pages.orderBy("url").limit(3).collect()
+    target_rows = [(i, extract_bytes(bytes(r["html"]))["content_text"])
+                   for i, r in enumerate(sample)]
+    target = spark.createDataFrame(target_rows, ["doc_id", "text"])
+    out = pretraining_pipeline(
+        spark, pages, Options(),
+        dsir_target=target, dsir_top_frac_x100=50,
+        near_dup_method="clusters",
+    )
+    try:
+        report = dict(out["report"])
+        n0 = report["after_curation_and_near_dup"]
+        assert report["after_dsir_selection"] == (n0 * 50) // 100
+        assert out["corpus"].count() == report["after_dsir_selection"]
+    finally:
+        release_cache()
