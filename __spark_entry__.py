@@ -922,13 +922,26 @@ def q_bpe_token_stats(spark, sf_dir):
     return bpe_token_stats(_docs(spark, sf_dir))
 
 
+# planted 60-word shared passage (docs with doc_id%6 < 2) so exact
+# substring dedup at the paper's n=50 provably cuts spans
+_SS_PASSAGE = " ".join(f"shared{i:02d}" for i in range(60))
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrub over documents with planted emails/phones (the natural
     corpus has none, so the plant makes the redaction observable); counts
-    + redacted text both checked, via Java/RE2-agreeing patterns."""
+    + redacted text both checked, via Java/RE2-agreeing patterns.
+    Consolidated into the same row: Lee et al. 2022 exact substring
+    dedup over the corpus with a planted 60-word shared passage — the
+    oracle recomputes positional 50-gram hashes, duplicated-hash spans
+    and the surviving word stream in SQL."""
+    from rs_trafilatura_spark.operators.substring import (
+        exact_substring_dedup,
+    )
     from rs_trafilatura_spark.operators.textstats import redact_pii
 
-    docs = _docs(spark, sf_dir).select(
+    base = _docs(spark, sf_dir)
+    docs = base.select(
         "doc_id",
         F.concat(
             F.col("text"),
@@ -936,7 +949,19 @@ def q_redact_pii(spark, sf_dir):
             F.lit("@example.com or 555-123-4567."),
         ).alias("text"),
     )
-    return redact_pii(docs)
+    planted = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 6 < 2,
+               F.concat(F.col("text"), F.lit(" " + _SS_PASSAGE)))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    ss = exact_substring_dedup(planted, n=50).select(
+        "doc_id",
+        F.col("n_words").alias("ss_n_words"),
+        F.col("n_removed").alias("ss_n_removed"),
+        F.col("clean_text").alias("ss_clean_text"),
+    )
+    return redact_pii(docs).join(ss, "doc_id")
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -2481,6 +2506,41 @@ def _repetition_oracle_sql() -> str:
     return (f"SELECT *, ({passexpr}) AS repetition_pass FROM ({inner})")
 
 
+def _substring_dedup_oracle_join() -> str:
+    """Subquery joined onto the redact_pii oracle (consolidation step):
+    Lee-et-al exact substring dedup recomputed in DuckDB — positional
+    50-gram 48-bit md5 hashes, duplicated-hash starts, 0..49 coverage
+    expansion, anti-joined surviving word stream."""
+    inner = (
+        "WITH ssm AS (SELECT doc_id, text || CASE WHEN doc_id % 6 < 2 "
+        "THEN ' " + _SS_PASSAGE + "' ELSE '' END AS t FROM documents), "
+        "w AS (SELECT doc_id, list_filter(regexp_split_to_array(t, "
+        "'[ \\t\\n\\r]+'), x -> len(x) > 0) AS words FROM ssm), "
+        "wp AS (SELECT doc_id, unnest(words) AS word, "
+        "generate_subscripts(words, 1) AS i FROM w), "
+        "pos AS (SELECT doc_id, i - 1 AS i0, "
+        "CAST(('0x' || substr(md5(array_to_string("
+        "list_slice(words, i, i + 49), ' ')), 1, 12)) AS BIGINT) AS h "
+        "FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i "
+        "FROM w) WHERE i + 49 <= len(words)), "
+        "dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2), "
+        "cov AS (SELECT DISTINCT s.doc_id, s.i0 + g.o AS p FROM "
+        "(SELECT doc_id, i0 FROM pos JOIN dup USING (h)) s, "
+        "generate_series(0, 49) g(o)), "
+        "reb AS (SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(wp.word, ' ' ORDER BY wp.i) AS ss_clean_text "
+        "FROM wp LEFT JOIN cov ON cov.doc_id = wp.doc_id "
+        "AND cov.p = wp.i - 1 WHERE cov.p IS NULL GROUP BY wp.doc_id), "
+        "tot AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS ss_n_words "
+        "FROM w) "
+        "SELECT tot.doc_id, tot.ss_n_words, "
+        "tot.ss_n_words - COALESCE(reb.n_kept, 0) AS ss_n_removed, "
+        "COALESCE(reb.ss_clean_text, '') AS ss_clean_text "
+        "FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id"
+    )
+    return inner
+
+
 def _ccnet_oracle_sql() -> str:
     """DuckDB twin of operators/lm.py::ccnet_pipeline over documents:
     unigram vocab -> floor-log2 surprisal (length(bin(cnt)) — identical
@@ -3311,6 +3371,10 @@ def oracle_sql() -> dict[str, str]:
     o["token_stats_full"] = (
         "SELECT * FROM (" + o.pop("token_stats") + ") ts JOIN ("
         + o.pop("bpe_token_stats") + ") bp USING (doc_id)"
+    )
+    o["redact_pii"] = (
+        "SELECT * FROM (" + o.pop("redact_pii") + ") pii JOIN ("
+        + _substring_dedup_oracle_join() + ") ss USING (doc_id)"
     )
     o["doc_fingerprint"] = (
         "SELECT * FROM (" + o.pop("doc_fingerprint") + ") fp JOIN ("

@@ -358,3 +358,34 @@ def test_url_filter_rules(spark):
     # suffix match must anchor on a dot boundary of the domain, and
     # 'badware.example.evil' is a different registrable domain
     assert not out[4]["domain_blocked"] and out[4]["url_ok"]
+
+
+def test_exact_substring_dedup(spark):
+    """Lee et al. 2022 ExactSubstr (word-level): duplicated >= n-word
+    spans removed everywhere, including boundary-crossing grams and
+    same-document repeats."""
+    from rs_trafilatura_spark.operators.substring import (
+        exact_substring_dedup,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (0, "alpha beta " + shared + " tail zero"),
+        (1, "gamma delta " + shared + " tail one"),
+        (2, "unique words only here nothing repeated at all"),
+        (3, "short doc"),
+        # the same 6-word run twice in ONE doc also counts
+        (4, "x1 x2 r1 r2 r3 r4 r5 r6 y1 r1 r2 r3 r4 r5 r6 y2"),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in exact_substring_dedup(
+               spark.createDataFrame(rows, ["doc_id", "text"]),
+               n=5).collect()}
+    # shared run (8 words) + the boundary 'tail' gram (s4..tail dup too)
+    assert out[0]["clean_text"] == "alpha beta zero"
+    assert out[1]["clean_text"] == "gamma delta one"
+    assert out[0]["n_removed"] == 9
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "short doc"  # < n words: untouched
+    assert out[4]["clean_text"] == "x1 x2 y1 y2"
+    assert out[4]["n_removed"] == 12
