@@ -5,7 +5,7 @@
       -> extraction kernel + quality/language gates + exact dedup
       -> near-dup resolution (pairs / clusters / estimate)
       -> Gopher repetition gate (optional, carry-through — joinless)
-      -> corpus-wide paragraph dedup (optional)
+      -> corpus-wide paragraph dedup / exact substring dedup (optional)
       -> benchmark decontamination
       -> CCNet perplexity buckets / DSIR target selection (optional)
       -> per-host quota cap
@@ -44,6 +44,8 @@ def pretraining_pipeline(
     repetition_filter: bool = False,
     url_rules: bool = False,
     dedup_paragraphs: bool = False,
+    dedup_substrings: bool = False,
+    substring_span_words: int = 50,
     ccnet_keep: Optional[tuple[str, ...]] = None,
     dsir_target: Optional[DataFrame] = None,
     dsir_top_frac_x100: int = 50,
@@ -117,6 +119,20 @@ def pretraining_pipeline(
             .filter(F.length("text") > 0)
         )
         report.append(("after_paragraph_dedup", corpus.count()))
+
+    if dedup_substrings:
+        from ..operators.substring import exact_substring_dedup
+
+        ss = exact_substring_dedup(
+            corpus, n=substring_span_words
+        ).select("doc_id", "clean_text")
+        corpus = (
+            corpus.join(ss, "doc_id")
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.length("text") > 0)
+        )
+        report.append(("after_substring_dedup", corpus.count()))
 
     if benchmark is not None:
         from ..operators.decontaminate import mark_contaminated

@@ -41,6 +41,9 @@ def main() -> None:
                     help="apply URL blocklist/keyword/extension gates before extraction")
     ap.add_argument("--dedup-paragraphs", action="store_true",
                     help="corpus-wide duplicate-paragraph removal")
+    ap.add_argument("--dedup-substrings", action="store_true",
+                    help="Lee et al. exact substring dedup "
+                         "(>=50-word duplicated spans cut)")
     ap.add_argument("--ccnet-keep", default=None,
                     help="comma list of CCNet buckets to keep, e.g. head,middle")
     ap.add_argument("--dsir-target", default=None,
@@ -78,6 +81,7 @@ def main() -> None:
         repetition_filter=args.repetition_filter,
         url_rules=args.url_rules,
         dedup_paragraphs=args.dedup_paragraphs,
+        dedup_substrings=args.dedup_substrings,
         ccnet_keep=(tuple(args.ccnet_keep.split(','))
                     if args.ccnet_keep else None),
         dsir_target=(spark.read.parquet(args.dsir_target)

@@ -89,6 +89,7 @@ def test_pipeline_selection_stages(spark):
         spark, pages, Options(),
         url_rules=True,
         dedup_paragraphs=True,
+        dedup_substrings=True,
         ccnet_keep=("head", "middle"),
         dsir_target=None,
         near_dup_method="clusters",
@@ -98,8 +99,10 @@ def test_pipeline_selection_stages(spark):
         assert report["after_url_rules"] == 60  # synthetic urls are clean
         n0 = report["after_curation_and_near_dup"]
         assert report["after_paragraph_dedup"] <= n0
+        assert report["after_substring_dedup"] \
+            <= report["after_paragraph_dedup"]
         # thirds: head+middle keeps ~2/3
-        n_pd = report["after_paragraph_dedup"]
+        n_pd = report["after_substring_dedup"]
         n_cc = report["after_ccnet_buckets"]
         assert n_cc == (2 * n_pd) // 3 + (1 if n_pd % 3 == 2 else 0) or \
             n_cc <= n_pd  # exact ntile split; at minimum it's bounded
