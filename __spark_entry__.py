@@ -1752,13 +1752,39 @@ def q_knn_join_methods(spark, sf_dir):
     )
 
 
+def _moji_plant() -> str:
+    """Planted mojibake suffix, built FROM the repair table so it always
+    round-trips: ' caf<moji é> <moji “>fixed<moji ”>'."""
+    from rs_trafilatura_spark.operators.textstats import MOJIBAKE_PAIRS
+
+    m = {ch: moji for moji, ch in MOJIBAKE_PAIRS}
+    return " caf" + m["é"] + " " + m["“"] + "fixed" + m["”"]
+
+
 def q_token_stats_full(spark, sf_dir):
     """Whitespace token stats + BPE-ish regex token stats joined per doc
     (both are per-doc projections of the same table, so the join is
-    cardinality-preserving)."""
+    cardinality-preserving).  Consolidated into the same row: mojibake
+    repair (ftfy's cp1252/latin-1 double-encoding case) over docs with a
+    planted broken suffix on doc_id%3==1 — the oracle replays the same
+    30-entry replace chain."""
+    from rs_trafilatura_spark.operators.textstats import fix_mojibake
+
+    base = _docs(spark, sf_dir)
+    planted = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 1,
+               F.concat(F.col("text"), F.lit(_moji_plant())))
+        .otherwise(F.col("text")).alias("text"),
+    )
+    fm = fix_mojibake(planted).select(
+        "doc_id",
+        F.col("fixed_text").alias("moji_fixed_text"),
+        "moji_changed",
+    )
     return q_token_stats(spark, sf_dir).join(
         q_bpe_token_stats(spark, sf_dir), "doc_id"
-    )
+    ).join(fm, "doc_id")
 
 
 # Planted repetition for the Gopher A1.2 signals: doc_id%4 picks a
@@ -2539,6 +2565,22 @@ def _substring_dedup_oracle_join() -> str:
         "FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id"
     )
     return inner
+
+
+def _mojibake_oracle_sql() -> str:
+    """DuckDB twin of fix_mojibake: the identical 30-entry literal
+    replace chain (longest sequences first) over the planted text."""
+    from rs_trafilatura_spark.operators.textstats import MOJIBAKE_PAIRS
+
+    expr = "t"
+    for moji, ch in MOJIBAKE_PAIRS:
+        expr = f"replace({expr}, '{moji}', '{ch}')"
+    return (
+        "WITH mm AS (SELECT doc_id, text || CASE WHEN doc_id % 3 = 1 "
+        "THEN '" + _moji_plant() + "' ELSE '' END AS t FROM documents) "
+        "SELECT doc_id, fx AS moji_fixed_text, fx != t AS moji_changed "
+        "FROM (SELECT doc_id, t, " + expr + " AS fx FROM mm)"
+    )
 
 
 def _ccnet_oracle_sql() -> str:
@@ -3370,7 +3412,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["token_stats_full"] = (
         "SELECT * FROM (" + o.pop("token_stats") + ") ts JOIN ("
-        + o.pop("bpe_token_stats") + ") bp USING (doc_id)"
+        + o.pop("bpe_token_stats") + ") bp USING (doc_id) JOIN ("
+        + _mojibake_oracle_sql() + ") mj USING (doc_id)"
     )
     o["redact_pii"] = (
         "SELECT * FROM (" + o.pop("redact_pii") + ") pii JOIN ("

@@ -407,3 +407,39 @@ def gopher_repetition(documents: DataFrame,
 
     cols = ["doc_id", "text"] + [c for c in carry if c != "text"]
     return documents.select(*cols).mapInPandas(batches, schema)
+
+
+# ---------------------------------------------------------------------------
+# Mojibake repair (ftfy's core case, table-driven): UTF-8 bytes that were
+# decoded as cp1252/latin-1 somewhere upstream ("Ã©" for "é", "â€™" for
+# "’").  The fix is a chained literal replace over the ~30 sequences that
+# cover the overwhelming majority of real-web mojibake — pure codegen,
+# engine-exact (same replace() semantics in DuckDB), no UDF.  Longer
+# sequences are ordered first so 3-byte fixes never get clipped by a
+# 2-byte prefix fix.
+
+def _mojibake_table() -> list[tuple[str, str]]:
+    chars = "éèêëàáâçüöäñßíóúîôûìòù€’‘“”–—…"
+    pairs = []
+    for ch in chars:
+        raw = ch.encode("utf-8")
+        try:
+            moji = raw.decode("cp1252")
+        except UnicodeDecodeError:
+            moji = raw.decode("latin-1")
+        pairs.append((moji, ch))
+    pairs.sort(key=lambda p: -len(p[0]))
+    return pairs
+
+
+MOJIBAKE_PAIRS = _mojibake_table()
+
+
+def fix_mojibake(documents: DataFrame, col: str = "text") -> DataFrame:
+    """Append ``fixed_text`` (mojibake repaired) and ``moji_changed``."""
+    fixed = F.col(col)
+    for moji, ch in MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(moji), F.lit(ch))
+    return documents.withColumn("fixed_text", fixed).withColumn(
+        "moji_changed", F.col("fixed_text") != F.col(col)
+    )

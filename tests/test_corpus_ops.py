@@ -389,3 +389,27 @@ def test_exact_substring_dedup(spark):
     assert out[3]["clean_text"] == "short doc"  # < n words: untouched
     assert out[4]["clean_text"] == "x1 x2 y1 y2"
     assert out[4]["n_removed"] == 12
+
+
+def test_fix_mojibake(spark):
+    """cp1252/latin-1 double-encoding repair: broken sequences restored,
+    clean text untouched, flag accurate."""
+    from rs_trafilatura_spark.operators.textstats import (
+        MOJIBAKE_PAIRS, fix_mojibake,
+    )
+
+    m = {ch: moji for moji, ch in MOJIBAKE_PAIRS}
+    rows = [
+        (0, "caf" + m["é"] + " costs 5" + m["€"]),
+        (1, m["“"] + "quoted" + m["”"] + " and " + m["’"] + "apos"),
+        (2, "perfectly clean ascii text"),
+        (3, "already-correct café and “quotes” stay untouched"),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in fix_mojibake(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0]["fixed_text"] == "café costs 5€"
+    assert out[1]["fixed_text"] == "“quoted” and ’apos"
+    assert out[0]["moji_changed"] and out[1]["moji_changed"]
+    assert not out[2]["moji_changed"]
+    assert out[3]["fixed_text"] == rows[3][1] and not out[3]["moji_changed"]
