@@ -151,7 +151,8 @@ def main() -> None:
                  "ngram_jaccard", "ann_topk_methods", "text_quality_id",
                  "chunk_documents", "curation_audit", "near_dup_clusters",
                  "pack_shards", "write_shards", "corpus_quality_rules",
-                 "per_host_quota"):
+                 "per_host_quota", "token_stats_full", "redact_pii",
+                 "doc_fingerprint"):
         # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
         # define an operator's number (observed 12x outliers on one pass)
         best = float("inf")
