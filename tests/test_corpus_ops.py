@@ -413,3 +413,48 @@ def test_fix_mojibake(spark):
     assert out[0]["moji_changed"] and out[1]["moji_changed"]
     assert not out[2]["moji_changed"]
     assert out[3]["fixed_text"] == rows[3][1] and not out[3]["moji_changed"]
+
+
+def test_bloom_seen_filter_matches_exact_join(spark):
+    """The bloom prefilter + exact verify must equal the plain semi-join
+    (no false positives survive, bloom has no false negatives)."""
+    from rs_trafilatura_spark.operators.bloom import seen_filter
+
+    old = spark.createDataFrame(
+        [(i, f"historic text number {i}") for i in range(200)],
+        ["doc_id", "text"])
+    # 30 repeats of history + 70 genuinely new
+    new = spark.createDataFrame(
+        [(1000 + i, f"historic text number {i}") for i in range(30)]
+        + [(2000 + i, f"fresh text {i}") for i in range(70)],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r["seen"]
+           for r in seen_filter(new, old).collect()}
+    assert len(out) == 100
+    assert all(out[1000 + i] for i in range(30))
+    assert not any(out[2000 + i] for i in range(70))
+
+
+def test_bloom_bitset_properties():
+    """No false negatives by construction; a fresh hash misses (fill
+    factor ~1e-4 => false-hit probability ~1e-16 at k=4)."""
+    import hashlib
+    import numpy as np
+    from rs_trafilatura_spark.operators.bloom import (
+        DEFAULT_K, DEFAULT_NUM_BITS, _probe_indices,
+    )
+
+    hs = [hashlib.md5(f"t{i}".encode()).hexdigest() for i in range(500)]
+    bits = np.zeros(DEFAULT_NUM_BITS // 8, dtype=np.uint8)
+    idx = _probe_indices(hs, DEFAULT_NUM_BITS, DEFAULT_K)
+    flat = idx.ravel()
+    np.bitwise_or.at(bits, flat // 8, (1 << (flat % 8)).astype(np.uint8))
+
+    def member(h):
+        ix = _probe_indices([h], DEFAULT_NUM_BITS, DEFAULT_K)
+        return bool(((bits[ix // 8] & (1 << (ix % 8)).astype(np.uint8))
+                     != 0).all())
+
+    assert all(member(h) for h in hs)
+    fresh = hashlib.md5(b"definitely not in history").hexdigest()
+    assert not member(fresh)
