@@ -2489,7 +2489,7 @@ def _repetition_oracle_sql() -> str:
             "JOIN wp ON wp.doc_id = c.doc_id AND wp.i = c.pos "
             "GROUP BY c.doc_id)"
         )
-    sel = ["wagg.doc_id"]
+    sel = ["base.doc_id"]
     for unit in ("line", "para"):
         sel.append(
             f"CAST(CASE WHEN COALESCE({unit}agg.n_items, 0) = 0 THEN 0 ELSE "
@@ -2503,7 +2503,8 @@ def _repetition_oracle_sql() -> str:
         )
     for n in (2, 3, 4):
         sel.append(
-            f"CAST(CASE WHEN wagg.word_chars + wagg.n_words - 1 <= 0 THEN 0 "
+            f"CAST(CASE WHEN COALESCE(wagg.word_chars + wagg.n_words - 1, "
+            f"0) <= 0 THEN 0 "
             f"ELSE (1000 * COALESCE(top{n}.top_chars, 0)) // "
             "(wagg.word_chars + wagg.n_words - 1) END AS BIGINT) "
             f"AS top{n}_char_x1000"
@@ -2514,13 +2515,17 @@ def _repetition_oracle_sql() -> str:
             f"(1000 * COALESCE(cov{n}.cov_chars, 0)) // wagg.word_chars "
             f"END AS BIGINT) AS dup{n}_char_x1000"
         )
-    joins = ["wagg",
-             "LEFT JOIN lineagg ON lineagg.doc_id = wagg.doc_id",
-             "LEFT JOIN paraagg ON paraagg.doc_id = wagg.doc_id"]
+    # anchor on w (EVERY doc) so a zero-word document still gets its
+    # all-zeros row — wagg is words-derived and would drop it, while the
+    # Spark side always emits a row per input doc
+    joins = ["(SELECT doc_id FROM w) base",
+             "LEFT JOIN wagg ON wagg.doc_id = base.doc_id",
+             "LEFT JOIN lineagg ON lineagg.doc_id = base.doc_id",
+             "LEFT JOIN paraagg ON paraagg.doc_id = base.doc_id"]
     for n in (2, 3, 4):
-        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = wagg.doc_id")
+        joins.append(f"LEFT JOIN top{n} ON top{n}.doc_id = base.doc_id")
     for n in (5, 6, 7, 8, 9, 10):
-        joins.append(f"LEFT JOIN cov{n} ON cov{n}.doc_id = wagg.doc_id")
+        joins.append(f"LEFT JOIN cov{n} ON cov{n}.doc_id = base.doc_id")
     from rs_trafilatura_spark.operators.textstats import (
         REPETITION_THRESHOLDS_X1000,
     )
@@ -2535,8 +2540,10 @@ def _repetition_oracle_sql() -> str:
 def _substring_dedup_oracle_join() -> str:
     """Subquery joined onto the redact_pii oracle (consolidation step):
     Lee-et-al exact substring dedup recomputed in DuckDB — positional
-    50-gram 48-bit md5 hashes, duplicated-hash starts, 0..49 coverage
-    expansion, anti-joined surviving word stream."""
+    50-gram STRINGS (the Spark side's hash pass is only a prefilter; its
+    string verify makes gram-string grouping the exact semantics),
+    duplicated-gram starts, 0..49 coverage expansion, anti-joined
+    surviving word stream."""
     inner = (
         "WITH ssm AS (SELECT doc_id, text || CASE WHEN doc_id % 6 < 2 "
         "THEN ' " + _SS_PASSAGE + "' ELSE '' END AS t FROM documents), "
@@ -2545,13 +2552,12 @@ def _substring_dedup_oracle_join() -> str:
         "wp AS (SELECT doc_id, unnest(words) AS word, "
         "generate_subscripts(words, 1) AS i FROM w), "
         "pos AS (SELECT doc_id, i - 1 AS i0, "
-        "CAST(('0x' || substr(md5(array_to_string("
-        "list_slice(words, i, i + 49), ' ')), 1, 12)) AS BIGINT) AS h "
+        "array_to_string(list_slice(words, i, i + 49), ' ') AS gm "
         "FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i "
         "FROM w) WHERE i + 49 <= len(words)), "
-        "dup AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2), "
+        "dup AS (SELECT gm FROM pos GROUP BY gm HAVING count(*) >= 2), "
         "cov AS (SELECT DISTINCT s.doc_id, s.i0 + g.o AS p FROM "
-        "(SELECT doc_id, i0 FROM pos JOIN dup USING (h)) s, "
+        "(SELECT doc_id, i0 FROM pos JOIN dup USING (gm)) s, "
         "generate_series(0, 49) g(o)), "
         "reb AS (SELECT wp.doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
         "string_agg(wp.word, ' ' ORDER BY wp.i) AS ss_clean_text "

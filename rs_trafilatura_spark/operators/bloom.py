@@ -54,7 +54,7 @@ def build_bloom(docs: DataFrame, num_bits: int = DEFAULT_NUM_BITS,
         import pandas as pd
 
         for pdf in it:
-            bits = np.zeros(num_bits // 8, dtype=np.uint8)
+            bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
             if len(pdf):
                 idx = _probe_indices(pdf["_h"].tolist(), num_bits, k)
                 flat = idx.ravel()
@@ -63,7 +63,7 @@ def build_bloom(docs: DataFrame, num_bits: int = DEFAULT_NUM_BITS,
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
     parts = hashed.mapInPandas(batches, "bits binary").collect()
-    acc = np.zeros(num_bits // 8, dtype=np.uint8)
+    acc = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
     for row in parts:
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)
     return acc.tobytes()

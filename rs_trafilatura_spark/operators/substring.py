@@ -74,13 +74,31 @@ def positional_gram_hashes(documents: DataFrame,
 def exact_substring_dedup(documents: DataFrame,
                           n: int = DEFAULT_MIN_SPAN_WORDS) -> DataFrame:
     """(doc_id, n_words, n_removed, clean_text): every word covered by a
-    corpus-duplicated n-gram occurrence removed."""
+    corpus-duplicated n-gram occurrence removed.
+
+    The hash pass is a PREFILTER only: hash-dup candidate positions are
+    re-verified on the gram STRINGS (a groupBy over just the candidate
+    slice), so a 48-bit collision can never delete legitimate text — at
+    10^12 positions the expected collision pairs (~10^9) would otherwise
+    be bulk false deletions.  The verify shuffle carries only candidate
+    grams: true duplicates + the vanishing collision sliver."""
     pos = positional_gram_hashes(documents, n)
     dup = pos.groupBy("h").agg(F.count("*").alias("c")) \
         .filter(F.col("c") >= 2).select("h")
-    starts = pos.join(dup, "h").groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("i")).alias("starts")
+    cand = pos.join(dup, "h").select("doc_id", "i")
+    words_col = _words(F.col("text"))
+    cand_grams = cand.join(
+        documents.select("doc_id", words_col.alias("_w")), "doc_id"
+    ).select(
+        "doc_id", "i",
+        F.array_join(F.slice("_w", F.col("i") + 1, n), " ").alias("_g"),
     )
+    verified_grams = cand_grams.groupBy("_g") \
+        .agg(F.count("*").alias("c")).filter(F.col("c") >= 2).select("_g")
+    starts = cand_grams.join(verified_grams, "_g") \
+        .groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("i")).alias("starts")
+        )
     words = _words(F.col("text"))
     joined = documents.join(starts, "doc_id", "left").select(
         "doc_id",

@@ -419,15 +419,24 @@ def gopher_repetition(documents: DataFrame,
 # 2-byte prefix fix.
 
 def _mojibake_table() -> list[tuple[str, str]]:
+    # PER-BYTE windows-1252 with latin-1 fallthrough for the five bytes
+    # cp1252 leaves undefined (0x81 8D 8F 90 9D) — the WHATWG decoder
+    # browsers actually use.  A whole-string cp1252 decode would RAISE on
+    # those bytes and fall back to latin-1 for the entire sequence,
+    # silently producing the wrong (never-seen-in-the-wild) mojibake for
+    # '”', '—', '…' etc.
+    def per_byte(raw: bytes) -> str:
+        out = []
+        for b in raw:
+            bb = bytes([b])
+            try:
+                out.append(bb.decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(bb.decode("latin-1"))
+        return "".join(out)
+
     chars = "éèêëàáâçüöäñßíóúîôûìòù€’‘“”–—…"
-    pairs = []
-    for ch in chars:
-        raw = ch.encode("utf-8")
-        try:
-            moji = raw.decode("cp1252")
-        except UnicodeDecodeError:
-            moji = raw.decode("latin-1")
-        pairs.append((moji, ch))
+    pairs = [(per_byte(ch.encode("utf-8")), ch) for ch in chars]
     pairs.sort(key=lambda p: -len(p[0]))
     return pairs
 

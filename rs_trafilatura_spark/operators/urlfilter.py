@@ -31,8 +31,12 @@ NON_CONTENT_EXT_RE = (
 
 
 def host_of(url_col):
-    """Lowercased authority of a URL column."""
-    return F.regexp_extract(F.lower(url_col), "^[a-z]+://([^/?#]+)", 1)
+    """Lowercased HOST of a URL column: userinfo and port stripped, so
+    'https://user@badware.example:8443/x' -> 'badware.example' (a port
+    must not bypass the domain blocklist)."""
+    return F.regexp_extract(
+        F.lower(url_col), "^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)", 1
+    )
 
 
 def url_filter(documents: DataFrame, url_col: str = "url",
@@ -47,10 +51,9 @@ def url_filter(documents: DataFrame, url_col: str = "url",
     dom = F.lit(False)
     for d in blocked_domains:
         dom = dom | (host == d) | host.endswith("." + d)
-    kw_hits = None
+    kw_hits = F.lit(0)
     for k in keywords:
-        hit = F.when(url_l.contains(k), 1).otherwise(0)
-        kw_hits = hit if kw_hits is None else kw_hits + hit
+        kw_hits = kw_hits + F.when(url_l.contains(k), 1).otherwise(0)
     ext = url_l.rlike(NON_CONTENT_EXT_RE)
     return (
         documents

@@ -82,7 +82,7 @@ def main() -> None:
         url_rules=args.url_rules,
         dedup_paragraphs=args.dedup_paragraphs,
         dedup_substrings=args.dedup_substrings,
-        ccnet_keep=(tuple(args.ccnet_keep.split(','))
+        ccnet_keep=(tuple(b.strip() for b in args.ccnet_keep.split(','))
                     if args.ccnet_keep else None),
         dsir_target=(spark.read.parquet(args.dsir_target)
                      if args.dsir_target else None),

@@ -347,6 +347,7 @@ def test_url_filter_rules(spark):
         (2, "https://site.example/casino-night-xxx"),
         (3, "https://cdn.example/static/bundle.js"),
         (4, "https://badware.example.evil/page"),  # NOT a subdomain match
+        (5, "https://user@badware.example:8443/x"),  # port must not bypass
     ]
     out = {r["doc_id"]: r.asDict()
            for r in url_filter(
@@ -358,6 +359,14 @@ def test_url_filter_rules(spark):
     # suffix match must anchor on a dot boundary of the domain, and
     # 'badware.example.evil' is a different registrable domain
     assert not out[4]["domain_blocked"] and out[4]["url_ok"]
+    assert out[5]["domain_blocked"] and out[5]["url_host"] == "badware.example"
+
+    # disabling the keyword gate must not crash
+    empty_kw = url_filter(
+        spark.createDataFrame([(0, "https://x.example/casino")],
+                              ["doc_id", "url"]),
+        keywords=()).collect()[0]
+    assert empty_kw["url_kw_hits"] == 0 and empty_kw["url_ok"]
 
 
 def test_exact_substring_dedup(spark):

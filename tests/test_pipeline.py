@@ -104,8 +104,9 @@ def test_pipeline_selection_stages(spark):
         # thirds: head+middle keeps ~2/3
         n_pd = report["after_substring_dedup"]
         n_cc = report["after_ccnet_buckets"]
-        assert n_cc == (2 * n_pd) // 3 + (1 if n_pd % 3 == 2 else 0) or \
-            n_cc <= n_pd  # exact ntile split; at minimum it's bounded
+        # ntile(3): the tail group holds exactly floor(n/3) rows, so
+        # keeping head+middle keeps n - n//3 — an exact count, not a bound
+        assert n_cc == n_pd - n_pd // 3
         assert out["corpus"].count() == n_cc
         # stage order in the report
         names = [s for s, _ in out["report"]]
