@@ -2404,6 +2404,23 @@ FROM kept k LEFT JOIN closers c ON k.id = c.c_loser
 """
 
 
+def _language_id_oracle_sql() -> str:
+    """Generated from the same LANG_PRIORITY/STOPWORDS tables as the
+    operator: hits per language + priority-ordered argmax CASE."""
+    from rs_trafilatura_spark.operators.textstats import LANG_PRIORITY
+
+    h = {lang: _stop_cases(lang) for lang in LANG_PRIORITY}
+    sel = ", ".join(f"{h[lang]} AS {lang}_hits" for lang in LANG_PRIORITY)
+    case = "CASE "
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        conds = " AND ".join(
+            f"{h[lang]} >= {h[o]}" for o in LANG_PRIORITY[i + 1:]
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += f"ELSE '{LANG_PRIORITY[-1]}' END AS lang_guess"
+    return f"SELECT doc_id, {sel}, {case} FROM documents"
+
+
 def _stop_cases(lang: str) -> str:
     from rs_trafilatura_spark.operators.textstats import STOPWORDS
 
@@ -2801,14 +2818,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM w, LATERAL unnest(range((len(words) - 1) // 56 + 1)) "
             "AS s(i)"
         ),
-        "language_id": (
-            f"SELECT doc_id, {en} AS en_hits, {de} AS de_hits, "
-            f"{fr} AS fr_hits, {es} AS es_hits, "
-            f"CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en' "
-            f"WHEN {de} >= {fr} AND {de} >= {es} THEN 'de' "
-            f"WHEN {fr} >= {es} THEN 'fr' ELSE 'es' END AS lang_guess "
-            "FROM documents"
-        ),
+        "language_id": _language_id_oracle_sql(),
         "quality_score": (
             "SELECT doc_id, "
             "len(string_split(text, ' ')) AS token_cnt, "

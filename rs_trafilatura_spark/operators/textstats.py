@@ -8,13 +8,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# tiny deterministic stoplists for the n-gram/stopword language heuristic
+# tiny deterministic stoplists for the n-gram/stopword language heuristic.
+# LANG_PRIORITY fixes the argmax tie-break order; adding a language means
+# appending here — operator and oracle both generate from these tables.
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
     "fr": ("le", "la", "les", "et", "une", "est", "que", "pour", "dans", "vous"),
     "es": ("el", "los", "las", "y", "una", "es", "por", "como", "para", "del"),
+    "it": ("il", "di", "che", "per", "con", "del", "sono", "non", "della", "gli"),
+    "pt": ("não", "uma", "com", "por", "os", "mais", "como", "mas", "foi", "são"),
+    "nl": ("het", "een", "van", "dat", "niet", "met", "voor", "zijn", "ook", "maar"),
+    "pl": ("nie", "się", "jest", "na", "do", "jak", "ale", "czy", "tak", "przez"),
+    "sv": ("och", "att", "det", "som", "på", "är", "av", "för", "inte", "har"),
+    "tr": ("bir", "ve", "bu", "için", "ile", "olarak", "çok", "daha", "gibi", "ama"),
 }
+
+LANG_PRIORITY = ("en", "de", "fr", "es", "it", "pt", "nl", "pl", "sv", "tr")
 
 
 def _hits(lang: str):
@@ -39,30 +49,22 @@ def token_stats(documents: DataFrame) -> DataFrame:
 
 
 def language_id(documents: DataFrame) -> DataFrame:
-    """Stopword-hit language guess (deterministic argmax, en>de>fr>es
-    tie-break)."""
+    """Stopword-hit language guess over LANG_PRIORITY (deterministic
+    argmax; ties break in priority order).  Generated from the tables so
+    the operator and the DuckDB oracle can't drift."""
     df = documents.select(
         "doc_id",
-        _hits("en").alias("en_hits"),
-        _hits("de").alias("de_hits"),
-        _hits("fr").alias("fr_hits"),
-        _hits("es").alias("es_hits"),
+        *[_hits(lang).alias(f"{lang}_hits") for lang in LANG_PRIORITY],
     )
-    guess = (
-        F.when(
-            (F.col("en_hits") >= F.col("de_hits"))
-            & (F.col("en_hits") >= F.col("fr_hits"))
-            & (F.col("en_hits") >= F.col("es_hits")),
-            F.lit("en"),
-        )
-        .when(
-            (F.col("de_hits") >= F.col("fr_hits"))
-            & (F.col("de_hits") >= F.col("es_hits")),
-            F.lit("de"),
-        )
-        .when(F.col("fr_hits") >= F.col("es_hits"), F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    guess = None
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        cond = None
+        for other in LANG_PRIORITY[i + 1:]:
+            c = F.col(f"{lang}_hits") >= F.col(f"{other}_hits")
+            cond = c if cond is None else (cond & c)
+        branch = (guess.when if guess is not None else F.when)
+        guess = branch(cond, F.lit(lang))
+    guess = guess.otherwise(F.lit(LANG_PRIORITY[-1]))
     return df.withColumn("lang_guess", guess)
 
 

@@ -467,3 +467,28 @@ def test_bloom_bitset_properties():
     assert all(member(h) for h in hs)
     fresh = hashlib.md5(b"definitely not in history").hexdigest()
     assert not member(fresh)
+
+
+def test_language_id_ten_languages(spark):
+    from rs_trafilatura_spark.operators.textstats import (
+        LANG_PRIORITY, language_id,
+    )
+
+    rows = [
+        (0, "the cat is in the house and it is warm"),
+        (1, "das ist nicht der fall und die sache mit den"),
+        (2, "il problema di che cosa sono non della per con"),
+        (3, "det är som att det på och av för inte har"),
+        (4, "bir şey ve bu için ile çok daha gibi ama"),
+        (5, "nie wiem jak to się jest ale na do tak"),
+    ]
+    out = {r["doc_id"]: r["lang_guess"]
+           for r in language_id(
+               spark.createDataFrame(rows, ["doc_id", "text"])).collect()}
+    assert out[0] == "en" and out[1] == "de" and out[2] == "it"
+    assert out[3] == "sv" and out[4] == "tr" and out[5] == "pl"
+    # schema carries one hits column per language, priority-ordered
+    cols = language_id(
+        spark.createDataFrame(rows, ["doc_id", "text"])).columns
+    assert cols == ["doc_id"] + [f"{l}_hits" for l in LANG_PRIORITY] \
+        + ["lang_guess"]
