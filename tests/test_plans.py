@@ -149,3 +149,35 @@ def test_paragraph_dedup_avoids_hash_window(spark):
     assert "partial_min" in plan or "partial_" in plan, plan
     # no window operator anywhere in this plan
     assert "Window" not in plan, plan
+
+
+def test_substring_dedup_shuffles_only_fixed_width_prefilter(spark):
+    """The hash prefilter's groupBy must partial-combine map-side, and no
+    stage may collapse to a single partition: the gram stream is ~1 row
+    per corpus word."""
+    from rs_trafilatura_spark.operators.substring import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(20)],
+        ["doc_id", "text"])
+    plan = _plan(exact_substring_dedup(docs, n=5))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "partial_" in plan, plan
+
+
+def test_bloom_seen_filter_prefilter_is_map_side(spark):
+    """The bloom probe must be a Filter over the new side (no join before
+    the exact verify): only bloom-positive rows may reach a join."""
+    from rs_trafilatura_spark.operators.bloom import seen_filter
+
+    old = spark.createDataFrame(
+        [(i, f"h{i}") for i in range(50)], ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(100 + i, f"h{i % 10}") for i in range(50)], ["doc_id", "text"])
+    plan = _plan(seen_filter(new, old))
+    # the probe appears as a python-UDF filter, not as a join of the
+    # bitset table against the full new side
+    assert "maybe_seen" in plan or "ArrowEvalPython" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
