@@ -25,6 +25,7 @@ shard clustering) — composing them adds none.
 
 from __future__ import annotations
 
+import time
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -57,20 +58,57 @@ def pretraining_pipeline(
     seq_len: Optional[int] = None,
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
+    on_stage=None,
 ) -> dict:
     """Run the composed pipeline; returns a dict with:
 
     - ``corpus``: the final (doc_id, url, host, text, n_tokens) frame,
     - ``report``: [(stage, n_rows)] audit counts, in order,
+    - ``stage_seconds``: {stage: wall seconds} — each report count is a
+      forced materialization, so the gap between counts IS that stage's
+      cost (the first entry also carries Spark/session warmup),
     - ``sequences``: pack_sequences assignment (when ``seq_len``),
     - ``shard_manifest``: written-shard manifest rows (when
-      ``shard_out_dir``; requires ``shard_budget_tokens``).
+      ``shard_out_dir``; requires ``shard_budget_tokens``),
+    - ``release``: zero-arg callable freeing every cache this run owns
+      (the gate caches below + the curation cache) — call it when done
+      with ``corpus``/``sequences``.
 
     Stages gated by None-able parameters are skipped entirely (no plan
-    nodes added).  Intermediate stage frames are materialized via the
-    curation cache contract (mark_near_duplicates owns the persist of
-    the wide extraction output; call release_cache() when done)."""
+    nodes added).  Each gate's narrow (doc_id, url, host, text) output is
+    materialized through ``localCheckpoint(eager=True)`` before its audit
+    count.  The checkpoint does two jobs at once: (a) downstream gates
+    read materialized rows instead of recomputing gates 1..k-1 (which
+    would include re-running the iterative CC rounds — an n-gate run
+    would cost O(n^2) gate executions), and (b) it TRUNCATES the logical
+    plan.  (b) is not optional: every gate self-joins the corpus against
+    a frame derived from the corpus, so without truncation the logical
+    plan doubles per gate and Catalyst analysis time goes exponential —
+    measured on a fully-gated 2000-page run as 13 s -> 73 s -> 174 s of
+    pure driver-side planning for three successive gates, with
+    ``persist()`` alone (which caches data but keeps the logical plan)
+    unable to stop it.  At warehouse scale the same slot is where each
+    stage's output would be written to a table (same materialize +
+    truncate effect, plus fault tolerance that localCheckpoint trades
+    away)."""
     report: list[tuple[str, int]] = []
+    stage_seconds: dict[str, float] = {}
+    _t_last = time.time()
+
+    def _gate(df: DataFrame) -> DataFrame:
+        # eager: the checkpoint job runs here, so the stage's wall time
+        # lands in its own _record window; storage is MEMORY_AND_DISK
+        # and freed by the ContextCleaner once the frame is unreachable
+        return df.localCheckpoint(eager=True)
+
+    def _record(stage: str, n_rows: int) -> None:
+        nonlocal _t_last
+        report.append((stage, n_rows))
+        now = time.time()
+        stage_seconds[stage] = round(now - _t_last, 3)
+        _t_last = now
+        if on_stage is not None:
+            on_stage(stage, n_rows, stage_seconds[stage])
 
     if url_rules:
         from ..operators.urlfilter import url_filter
@@ -79,7 +117,7 @@ def pretraining_pipeline(
         # HTML byte is parsed (pure codegen map pass)
         audited = url_filter(pages)
         pages = audited.filter(F.col("url_ok")).select(*pages.columns)
-        report.append(("after_url_rules", pages.count()))
+        _record("after_url_rules", pages.count())
 
     curated = curate_pages(
         spark, pages, options,
@@ -87,38 +125,40 @@ def pretraining_pipeline(
     )
     marked = mark_near_duplicates(curated, method=near_dup_method)
     kept = marked.filter(F.col("drop_reason").isNull())
-    report.append(("after_curation_and_near_dup", kept.count()))
-
-    corpus = kept.select(
+    # row-preserving narrowing of `kept`, so its count IS kept's count;
+    # persisting the narrow frame (not `kept`) keeps the wide
+    # content_html/markdown columns out of the gate caches
+    corpus = _gate(kept.select(
         F.xxhash64("url").alias("doc_id"),
         "url",
         F.regexp_extract("url", r"^[a-z]+://([^/]+)", 1).alias("host"),
         F.col("content_text").alias("text"),
-    )
+    ))
+    _record("after_curation_and_near_dup", corpus.count())
 
     if repetition_filter:
         from ..operators.textstats import gopher_repetition
 
         # carry= threads url/host/text through the Arrow pass so the
         # gate filters in place — no join, no shuffle added
-        corpus = gopher_repetition(
+        corpus = _gate(gopher_repetition(
             corpus, carry=("url", "host", "text")
         ).filter(F.col("repetition_pass")).select(
             "doc_id", "url", "host", "text"
-        )
-        report.append(("after_repetition_filter", corpus.count()))
+        ))
+        _record("after_repetition_filter", corpus.count())
 
     if dedup_paragraphs:
         from ..operators.dedup import paragraph_dedup
 
         pd_audit = paragraph_dedup(corpus).select("doc_id", "clean_text")
-        corpus = (
+        corpus = _gate(
             corpus.join(pd_audit, "doc_id")
             .withColumn("text", F.col("clean_text"))
             .drop("clean_text")
             .filter(F.length("text") > 0)
         )
-        report.append(("after_paragraph_dedup", corpus.count()))
+        _record("after_paragraph_dedup", corpus.count())
 
     if dedup_substrings:
         from ..operators.substring import exact_substring_dedup
@@ -126,20 +166,20 @@ def pretraining_pipeline(
         ss = exact_substring_dedup(
             corpus, n=substring_span_words
         ).select("doc_id", "clean_text")
-        corpus = (
+        corpus = _gate(
             corpus.join(ss, "doc_id")
             .withColumn("text", F.col("clean_text"))
             .drop("clean_text")
             .filter(F.length("text") > 0)
         )
-        report.append(("after_substring_dedup", corpus.count()))
+        _record("after_substring_dedup", corpus.count())
 
     if benchmark is not None:
         from ..operators.decontaminate import mark_contaminated
 
-        corpus = mark_contaminated(corpus, benchmark, n=decontam_n) \
-            .filter(~F.col("contaminated")).drop("contaminated")
-        report.append(("after_decontamination", corpus.count()))
+        corpus = _gate(mark_contaminated(corpus, benchmark, n=decontam_n)
+                       .filter(~F.col("contaminated")).drop("contaminated"))
+        _record("after_decontamination", corpus.count())
 
     if ccnet_keep is not None:
         from ..operators.lm import ccnet_pipeline
@@ -147,12 +187,12 @@ def pretraining_pipeline(
         # exact-thirds configuration; at web scale fit the cutoffs on a
         # sample and use bucket_by_thresholds instead (operators/lm.py)
         buckets = ccnet_pipeline(corpus).select("doc_id", "bucket")
-        corpus = corpus.join(
+        corpus = _gate(corpus.join(
             buckets.filter(F.col("bucket").isin(*ccnet_keep))
             .select("doc_id"),
             "doc_id",
-        )
-        report.append(("after_ccnet_buckets", corpus.count()))
+        ))
+        _record("after_ccnet_buckets", corpus.count())
 
     if dsir_target is not None:
         from ..operators.dsir import (
@@ -166,8 +206,8 @@ def pretraining_pipeline(
             dsir_scores(corpus, t_counts, r_counts),
             frac_x100=dsir_top_frac_x100, total=total,
         ).filter(F.col("selected")).select("doc_id")
-        corpus = corpus.join(picked, "doc_id")
-        report.append(("after_dsir_selection", corpus.count()))
+        corpus = _gate(corpus.join(picked, "doc_id"))
+        _record("after_dsir_selection", corpus.count())
 
     if max_pages_per_host is not None:
         from ..operators.windows import capped_per_key
@@ -175,22 +215,29 @@ def pretraining_pipeline(
         capped = capped_per_key(corpus.select("doc_id", "host"),
                                 "host", n=max_pages_per_host,
                                 order_cols=("doc_id",))
-        corpus = corpus.join(capped.select("doc_id"), "doc_id")
-        report.append(("after_host_quota", corpus.count()))
+        corpus = _gate(corpus.join(capped.select("doc_id"), "doc_id"))
+        _record("after_host_quota", corpus.count())
 
     if mixture_alpha_x100 is not None:
         from ..operators.packing import downsample_to_mixture
 
-        corpus = downsample_to_mixture(
+        corpus = _gate(downsample_to_mixture(
             corpus.withColumn("source", F.col("host")),
             key="source", alpha_x100=mixture_alpha_x100,
-        ).drop("source")
-        report.append(("after_mixture_downsample", corpus.count()))
+        ).drop("source"))
+        _record("after_mixture_downsample", corpus.count())
 
     corpus = corpus.withColumn(
         "n_tokens", F.size(F.split("text", " ")).cast("long")
     )
-    out: dict = {"corpus": corpus, "report": report}
+
+    def _release() -> None:
+        # gate checkpoints free themselves via the ContextCleaner when
+        # unreferenced; the curation cache is the one explicit handle
+        release_cache()
+
+    out: dict = {"corpus": corpus, "report": report,
+                 "stage_seconds": stage_seconds, "release": _release}
 
     if seq_len is not None:
         from ..operators.packing import pack_sequences
@@ -205,6 +252,6 @@ def pretraining_pipeline(
         packed = pack_shards(corpus, budget_tokens=shard_budget_tokens,
                              carry=("text",))
         out["shard_manifest"] = write_shards(packed, shard_out_dir).collect()
-        report.append(("shards_written", len(out["shard_manifest"])))
+        _record("shards_written", len(out["shard_manifest"]))
 
     return out

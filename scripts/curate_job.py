@@ -65,7 +65,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from rs_trafilatura_spark.options import Options
-    from rs_trafilatura_spark.plans.curate import release_cache
     from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
     from rs_trafilatura_spark.session import get_spark
 
@@ -107,7 +106,7 @@ def main() -> None:
         result["sequences"] = seq_path
     if "shard_manifest" in out:
         result["n_shards"] = len(out["shard_manifest"])
-    release_cache()
+    out["release"]()
     print(json.dumps(result, default=str))
     spark.stop()
 

@@ -6,7 +6,6 @@ from pyspark.sql import functions as F
 
 from rs_trafilatura_spark.datagen.corpus import generate_pages_df
 from rs_trafilatura_spark.options import Options
-from rs_trafilatura_spark.plans.curate import release_cache
 from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
 
 
@@ -71,7 +70,7 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
             payload = gzip.decompress(open(m["file"], "rb").read())
             assert len(payload.decode().splitlines()) == m["n_docs"]
     finally:
-        release_cache()
+        out["release"]()
 
 
 def test_pipeline_selection_stages(spark):
@@ -79,7 +78,6 @@ def test_pipeline_selection_stages(spark):
     composed stages: every stage bounded by its predecessor, report rows
     in order, final corpus consistent."""
     from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
-    from rs_trafilatura_spark.plans.curate import release_cache
     from rs_trafilatura_spark.datagen.corpus import generate_pages_df
     from rs_trafilatura_spark.options import Options
 
@@ -114,12 +112,11 @@ def test_pipeline_selection_stages(spark):
             names.index("after_paragraph_dedup") < \
             names.index("after_ccnet_buckets")
     finally:
-        release_cache()
+        out["release"]()
 
 
 def test_pipeline_dsir_stage(spark):
     from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
-    from rs_trafilatura_spark.plans.curate import release_cache
     from rs_trafilatura_spark.datagen.corpus import generate_pages_df
     from rs_trafilatura_spark.options import Options
     from rs_trafilatura_spark.kernel import extract_bytes
@@ -140,4 +137,4 @@ def test_pipeline_dsir_stage(spark):
         assert report["after_dsir_selection"] == (n0 * 50) // 100
         assert out["corpus"].count() == report["after_dsir_selection"]
     finally:
-        release_cache()
+        out["release"]()
