@@ -87,20 +87,30 @@ def dsir_scores(documents: DataFrame, target_counts: DataFrame,
                 raw_counts: DataFrame,
                 buckets: int = DEFAULT_BUCKETS) -> DataFrame:
     """Mean integer log-likelihood-ratio per document: (doc_id,
-    n_grams, dsir_score_x1000).  Higher = more target-like."""
-    n_t = int(target_counts.agg(F.sum("cnt")).collect()[0][0] or 1)
-    n_r = int(raw_counts.agg(F.sum("cnt")).collect()[0][0] or 1)
+    n_grams, dsir_score_x1000).  Higher = more target-like.
+
+    The count tables are O(buckets) rows, so they are collected ONCE to
+    the driver here: the grand totals are summed locally and the
+    broadcast sides rebuilt from the collected rows.  Summing and
+    broadcasting the incoming DataFrames directly would execute each
+    count plan twice — for ``raw_counts`` that is two full gram passes
+    over the raw corpus, the dominant cost of the whole operator."""
+    spark = documents.sparkSession
+    t_rows = [(r["bucket"], r["cnt"]) for r in target_counts.collect()]
+    r_rows = [(r["bucket"], r["cnt"]) for r in raw_counts.collect()]
+    n_t = int(sum(c for _, c in t_rows)) or 1
+    n_r = int(sum(c for _, c in r_rows)) or 1
     bits_nt = len(bin(n_t)) - 2
     bits_nr = len(bin(n_r)) - 2
+    t_local = spark.createDataFrame(t_rows, "bucket long, t_cnt long")
+    r_local = spark.createDataFrame(r_rows, "bucket long, r_cnt long")
     grams = _gram_stream(documents).select(
         "doc_id", _bucket(F.col("gram"), buckets).alias("bucket")
     )
     joined = (
         grams
-        .join(F.broadcast(target_counts.withColumnRenamed("cnt", "t_cnt")),
-              "bucket", "left")
-        .join(F.broadcast(raw_counts.withColumnRenamed("cnt", "r_cnt")),
-              "bucket", "left")
+        .join(F.broadcast(t_local), "bucket", "left")
+        .join(F.broadcast(r_local), "bucket", "left")
         .select(
             "doc_id",
             (
