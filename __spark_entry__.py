@@ -873,11 +873,23 @@ def q_quality_heuristic(spark, sf_dir):
     )
 
 
-def q_extract_stage_metrics(spark, sf_dir):
+def q_corpus_datasheet(spark, sf_dir):
+    """Release datasheet for the corpus (operators/datasheet.py: totals,
+    uniqueness, per-source/per-language composition, discrete token
+    percentiles) UNIONED with the extraction stage-metrics section the
+    row previously pinned alone — one tall (section, key, value) frame,
+    every value integer-exact in both engines."""
+    from rs_trafilatura_spark.operators.datasheet import corpus_datasheet
     from rs_trafilatura_spark.plans import stage_metrics
 
-    out = _run_kernel(spark, _wrap_roundtrip(_docs(spark, sf_dir)))
-    return stage_metrics(out).select("stage", "n_pages")
+    docs = _docs(spark, sf_dir)
+    out = _run_kernel(spark, _wrap_roundtrip(docs))
+    stages = stage_metrics(out).select(
+        F.lit("extraction_stage").alias("section"),
+        F.col("stage").alias("key"),
+        F.col("n_pages").cast("long").alias("value"),
+    )
+    return corpus_datasheet(docs).unionByName(stages)
 
 
 # planted cross-document duplicate paragraph so paragraph_dedup provably
@@ -2104,7 +2116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "extract_metadata": q_extract_metadata,
         "extract_metadata_full": q_extract_metadata_full,
-        "extract_stage_metrics": q_extract_stage_metrics,
+        "corpus_datasheet": q_corpus_datasheet,
         "quality_heuristic": q_quality_heuristic,
         "dedup_exact": q_dedup_exact,
         "token_stats_full": q_token_stats_full,
@@ -2630,6 +2642,14 @@ def _ccnet_oracle_sql() -> str:
     )
 
 
+def _datasheet_oracle_sql() -> str:
+    """DuckDB twin of operators/datasheet.py, generated by the operator
+    module itself from the same section/percentile tables."""
+    from rs_trafilatura_spark.operators.datasheet import datasheet_sql
+
+    return datasheet_sql("documents")
+
+
 def _dsir_oracle_sql() -> str:
     """DuckDB twin of operators/dsir.py over documents: unigram+bigram
     stream -> md5-hex bucket (CAST('0x'||substr(md5,1,8)) — same integer
@@ -3089,9 +3109,13 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_chars DESC, doc_id ASC) AS rank FROM documents) "
             "WHERE rank <= 2"
         ),
-        "extract_stage_metrics": (
-            # every roundtrip page extracts at the 'main' cascade stage
-            "SELECT 'main' AS stage, count(*) AS n_pages FROM documents"
+        "corpus_datasheet": (
+            # datasheet_sql is generated from the operator's own section/
+            # percentile tables; every roundtrip page extracts at the
+            # 'main' cascade stage (the row's previous sole content)
+            _datasheet_oracle_sql()
+            + " UNION ALL SELECT 'extraction_stage' AS section, "
+            "'main' AS key, count(*) AS value FROM documents"
         ),
         "minhash_lsh_pairs": (
             # all-pairs exact shingle-set Jaccard; the Spark side must find

@@ -152,7 +152,7 @@ def main() -> None:
                  "chunk_documents", "curation_audit", "near_dup_clusters",
                  "pack_shards", "write_shards", "corpus_quality_rules",
                  "per_host_quota", "token_stats_full", "redact_pii",
-                 "doc_fingerprint"):
+                 "doc_fingerprint", "corpus_datasheet"):
         # best-of-2: a single full-GC pause or scheduler hiccup shouldn't
         # define an operator's number (observed 12x outliers on one pass)
         best = float("inf")

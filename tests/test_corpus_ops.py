@@ -492,3 +492,63 @@ def test_language_id_ten_languages(spark):
         spark.createDataFrame(rows, ["doc_id", "text"])).columns
     assert cols == ["doc_id"] + [f"{l}_hits" for l in LANG_PRIORITY] \
         + ["lang_guess"]
+
+
+def test_corpus_datasheet_hand_computed(spark):
+    from rs_trafilatura_spark.operators.datasheet import corpus_datasheet
+
+    rows = [
+        (0, "a b c d", "en", "s1"),      # 4 tokens, 7 chars
+        (1, "a b c d", "en", "s1"),      # exact dup of doc 0
+        (2, "x y", "de", "s2"),          # 2 tokens, 3 chars
+        (3, "p q r s t u v w x y", "en", "s2"),  # 10 tokens, 19 chars
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {(r["section"], r["key"]): r["value"]
+           for r in corpus_datasheet(df).collect()}
+    assert got[("overview", "n_docs")] == 4
+    assert got[("overview", "n_unique_texts")] == 3
+    assert got[("overview", "total_tokens")] == 20
+    assert got[("overview", "total_chars")] == 36
+    assert got[("overview", "n_sources")] == 2
+    assert got[("overview", "n_langs")] == 2
+    # discrete percentile: smallest v with cum*100 >= p*n over the
+    # sorted token counts [2, 4, 4, 10]
+    assert got[("tokens_percentile", "p10")] == 2   # cum 1 >= 0.4
+    assert got[("tokens_percentile", "p50")] == 4   # cum 2 >= 2
+    assert got[("tokens_percentile", "p90")] == 10  # cum 4 >= 3.6
+    assert got[("tokens_percentile", "p100")] == 10
+    assert got[("docs_per_source", "s1")] == 2
+    assert got[("docs_per_source", "s2")] == 2
+    assert got[("tokens_per_source", "s1")] == 8
+    assert got[("tokens_per_source", "s2")] == 12
+    assert got[("docs_per_lang", "en")] == 3
+    assert got[("docs_per_lang", "de")] == 1
+    # no lang column: whole corpus attributed to 'und'
+    und = {(r["section"], r["key"]): r["value"]
+           for r in corpus_datasheet(
+               df.drop("lang"), lang_col=None).collect()}
+    assert und[("docs_per_lang", "und")] == 4
+    assert und[("overview", "n_langs")] == 1
+
+
+def test_corpus_datasheet_matches_duckdb_oracle(spark, tmp_path):
+    import duckdb
+
+    from rs_trafilatura_spark.operators.datasheet import (
+        corpus_datasheet, datasheet_sql,
+    )
+
+    rows = [(i, f"tok{i % 7} " * (i % 13 + 1) + "tail",
+             ["en", "de", "fr"][i % 3], f"s{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    got = sorted((r["section"], r["key"], r["value"])
+                 for r in corpus_datasheet(spark.read.parquet(pq)).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM parquet_scan('{pq}/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(datasheet_sql()).fetchall())
+    assert got == want

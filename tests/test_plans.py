@@ -181,3 +181,20 @@ def test_bloom_seen_filter_prefilter_is_map_side(spark):
     # bitset table against the full new side
     assert "maybe_seen" in plan or "ArrowEvalPython" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_datasheet_single_corpus_scan(spark, tmp_path):
+    """The datasheet's roll-ups must read the checkpointed grouping-sets
+    output, never re-scan the corpus: zero file-scan nodes in the final
+    plan (the one corpus scan ran eagerly at checkpoint time), and the
+    grouping-sets Expand is what fused the cube + distinct-fp passes."""
+    from rs_trafilatura_spark.operators.datasheet import corpus_datasheet
+
+    pq = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i % 5} text", "en", f"s{i % 3}") for i in range(60)],
+        ["doc_id", "text", "lang", "source"],
+    ).write.parquet(pq)
+    plan = _plan(corpus_datasheet(spark.read.parquet(pq)))
+    assert "parquet" not in plan.lower(), plan
+    assert "partial_" in plan, plan
