@@ -58,6 +58,7 @@ def pretraining_pipeline(
     seq_len: Optional[int] = None,
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
+    datasheet: bool = False,
     on_stage=None,
 ) -> dict:
     """Run the composed pipeline; returns a dict with:
@@ -238,6 +239,15 @@ def pretraining_pipeline(
 
     out: dict = {"corpus": corpus, "report": report,
                  "stage_seconds": stage_seconds, "release": _release}
+
+    if datasheet:
+        from ..operators.datasheet import corpus_datasheet
+
+        # the release summary a corpus version ships with (diffable
+        # between runs); host stands in for source, language is 'und'
+        # until a language-ID join is layered on
+        out["datasheet"] = corpus_datasheet(
+            corpus, source_col="host", lang_col=None)
 
     if seq_len is not None:
         from ..operators.packing import pack_sequences

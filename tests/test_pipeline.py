@@ -35,6 +35,7 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
         seq_len=64,
         shard_budget_tokens=500,
         shard_out_dir=str(tmp_path / "shards"),
+        datasheet=True,
     )
     try:
         report = dict(out["report"])
@@ -69,6 +70,12 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
         for m in manifest[:3]:
             payload = gzip.decompress(open(m["file"], "rb").read())
             assert len(payload.decode().splitlines()) == m["n_docs"]
+
+        # release datasheet agrees with the final corpus
+        ds = {(r["section"], r["key"]): r["value"]
+              for r in out["datasheet"].collect()}
+        assert ds[("overview", "n_docs")] == n_final
+        assert ds[("overview", "total_tokens")] == total_tokens
     finally:
         out["release"]()
 
