@@ -60,6 +60,9 @@ def main() -> None:
                     help="alpha_x100 for mixture downsampling (0-100)")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--shard-tokens", type=int, default=None)
+    ap.add_argument("--datasheet", action="store_true",
+                    help="write the release datasheet (section,key,value) "
+                         "to <output>/datasheet")
     ap.add_argument("--parallelism", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
@@ -96,6 +99,7 @@ def main() -> None:
         shard_budget_tokens=args.shard_tokens,
         shard_out_dir=(os.path.join(args.output, "shards")
                        if args.shard_tokens else None),
+        datasheet=args.datasheet,
     )
     corpus_path = os.path.join(args.output, "corpus")
     out["corpus"].write.mode("overwrite").parquet(corpus_path)
@@ -106,6 +110,11 @@ def main() -> None:
         result["sequences"] = seq_path
     if "shard_manifest" in out:
         result["n_shards"] = len(out["shard_manifest"])
+    if "datasheet" in out:
+        ds_path = os.path.join(args.output, "datasheet")
+        # coalesce(1): the sheet is O(sources + langs + percentiles) rows
+        out["datasheet"].coalesce(1).write.mode("overwrite").parquet(ds_path)
+        result["datasheet"] = ds_path
     out["release"]()
     print(json.dumps(result, default=str))
     spark.stop()
