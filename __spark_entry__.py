@@ -752,7 +752,7 @@ def q_mixture_weights(spark, sf_dir):
     irrational count^alpha is integer-discretized before normalization
     so both engines divide identical integers."""
     from rs_trafilatura_spark.operators.packing import (
-        downsample_to_mixture, mixture_weights,
+        downsample_to_mixture, mixture_weights, split_corpus,
     )
 
     docs = _docs(spark, sf_dir)
@@ -764,12 +764,26 @@ def q_mixture_weights(spark, sf_dir):
     )
     kept = downsample_to_mixture(docs, weights=weights, key="source",
                                  gate_col=gate)
+    # leakage-safe split assignment folded into the same row: per-source
+    # train/val/test counts under the md5-prefix gate (oracle-exact)
+    split_gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    splits = split_corpus(docs, key_col="doc_id", gate_col=split_gate)
+    split_counts = splits.groupBy("source").agg(*[
+        F.sum((F.col("split") == s).cast("long")).alias(f"n_{s}")
+        for s in ("train", "val", "test")
+    ])
     return weights.join(
         kept.groupBy("source").agg(F.count("*").cast("long")
                                    .alias("n_kept")),
         "source", "left",
-    ).select("source", "n_docs", "weight_x1e6",
-             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
+    ).join(split_counts, "source", "left").select(
+        "source", "n_docs", "weight_x1e6",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "n_train", "n_val", "n_test")
 
 
 def q_streaming_warc_roundtrip(spark, sf_dir):
@@ -3209,10 +3223,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN r ON d.source = r.source "
             "WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), "
             "1, 15))::UBIGINT % 1000000 AS BIGINT) < r.rate "
-            "GROUP BY d.source) "
+            "GROUP BY d.source), "
+            # leakage-safe split: same md5-prefix hash, mod 100, 98/1/1
+            "sp AS (SELECT source, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 100 AS BIGINT) AS g FROM documents), "
+            "sc AS (SELECT source, "
+            "CAST(sum(CASE WHEN g < 98 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_train, "
+            "CAST(sum(CASE WHEN g >= 98 AND g < 99 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_val, "
+            "CAST(sum(CASE WHEN g >= 99 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_test FROM sp GROUP BY source) "
             "SELECT r.source, r.n_docs, r.weight_x1e6, "
-            "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept "
-            "FROM r LEFT JOIN k ON r.source = k.source"
+            "CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept, "
+            "sc.n_train, sc.n_val, sc.n_test "
+            "FROM r LEFT JOIN k ON r.source = k.source "
+            "LEFT JOIN sc ON r.source = sc.source"
         ),
         "gopher_quality": (
             # every Gopher signal recomputed with DuckDB list/regex

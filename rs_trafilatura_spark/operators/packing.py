@@ -309,3 +309,40 @@ def downsample_to_mixture(documents: DataFrame,
         .filter(gate < F.col("_rate_x1e6"))
         .drop("_rate_x1e6")
     )
+
+
+def split_corpus(documents: DataFrame,
+                 weights_x100: tuple = (("train", 98), ("val", 1),
+                                        ("test", 1)),
+                 key_col: str = "url",
+                 salt: int = 7,
+                 gate_col=None) -> DataFrame:
+    """Leakage-safe deterministic train/val/test assignment: adds a
+    ``split`` column chosen by a hash of ``key_col``.
+
+    Keying on the URL (not the row) is the leakage property: the same
+    url lands in the same split on every run AND every corpus version,
+    so a page that is re-crawled, re-extracted, or survives different
+    gate configurations can never migrate from train into an eval
+    split.  Map-only (no shuffle, no RNG state); at warehouse scale the
+    column is computed inline at write time and used as the output
+    partition key.
+
+    ``weights_x100``: ordered (name, percent) pairs summing to 100 —
+    ordered so the cumulative bucket boundaries are deterministic.
+    ``gate_col``: optional Column in [0, 100) replacing the default
+    xxhash64 gate (e.g. an md5-prefix gate when the assignment must be
+    reproducible by engines without xxhash64)."""
+    total = sum(w for _, w in weights_x100)
+    if total != 100:
+        raise ValueError(f"weights_x100 must sum to 100, got {total}")
+    gate = (gate_col if gate_col is not None
+            else F.pmod(F.xxhash64(key_col, F.lit(salt)), F.lit(100)))
+    expr = None
+    cum = 0
+    for name, w in weights_x100[:-1]:
+        cum += w
+        branch = (expr.when if expr is not None else F.when)
+        expr = branch(gate < cum, F.lit(name))
+    expr = expr.otherwise(F.lit(weights_x100[-1][0]))
+    return documents.withColumn("split", expr)

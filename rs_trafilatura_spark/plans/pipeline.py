@@ -59,6 +59,7 @@ def pretraining_pipeline(
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
     datasheet: bool = False,
+    split_weights_x100: Optional[tuple] = None,
     on_stage=None,
 ) -> dict:
     """Run the composed pipeline; returns a dict with:
@@ -231,6 +232,14 @@ def pretraining_pipeline(
     corpus = corpus.withColumn(
         "n_tokens", F.size(F.split("text", " ")).cast("long")
     )
+
+    if split_weights_x100 is not None:
+        from ..operators.packing import split_corpus
+
+        # leakage-safe train/val/test column, keyed on url so re-crawled
+        # pages never migrate between splits across corpus versions
+        corpus = split_corpus(corpus, weights_x100=split_weights_x100,
+                              key_col="url")
 
     def _release() -> None:
         # gate checkpoints free themselves via the ContextCleaner when

@@ -60,6 +60,9 @@ def main() -> None:
                     help="alpha_x100 for mixture downsampling (0-100)")
     ap.add_argument("--seq-len", type=int, default=None)
     ap.add_argument("--shard-tokens", type=int, default=None)
+    ap.add_argument("--split", default=None,
+                    help="leakage-safe url-keyed split column, e.g. "
+                         "train:98,val:1,test:1 (percents sum to 100)")
     ap.add_argument("--datasheet", action="store_true",
                     help="write the release datasheet (section,key,value) "
                          "to <output>/datasheet")
@@ -100,6 +103,10 @@ def main() -> None:
         shard_out_dir=(os.path.join(args.output, "shards")
                        if args.shard_tokens else None),
         datasheet=args.datasheet,
+        split_weights_x100=(
+            tuple((n, int(p)) for n, p in
+                  (kv.split(":") for kv in args.split.split(",")))
+            if args.split else None),
     )
     corpus_path = os.path.join(args.output, "corpus")
     out["corpus"].write.mode("overwrite").parquet(corpus_path)

@@ -552,3 +552,26 @@ def test_corpus_datasheet_matches_duckdb_oracle(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in con.execute(datasheet_sql()).fetchall())
     assert got == want
+
+
+def test_split_corpus_deterministic_and_leakage_safe(spark):
+    from rs_trafilatura_spark.operators.packing import split_corpus
+
+    rows = [(i, f"http://h{i % 9}.com/p{i}", "x") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    got = {r["url"]: r["split"] for r in split_corpus(df).collect()}
+    # roughly 98/1/1 (hash gate, so only sanity bounds)
+    from collections import Counter
+    c = Counter(got.values())
+    assert c["train"] > 350 and c["val"] >= 1 and c["test"] >= 1
+    # leakage safety: assignment is a pure function of the url — the
+    # same url gets the same split in a different corpus version with
+    # different row order, extra columns, and a subset of rows
+    v2 = spark.createDataFrame(
+        [(u, len(u)) for u in list(got)[::-2]], ["url", "extra"])
+    for r in split_corpus(v2).collect():
+        assert r["split"] == got[r["url"]]
+    # weights must sum to 100
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_corpus(df, weights_x100=(("a", 60), ("b", 30)))
