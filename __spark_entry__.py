@@ -1022,13 +1022,17 @@ def q_fingerprint(spark, sf_dir):
     from rs_trafilatura_spark.operators.decontaminate import (
         contamination_hits,
     )
-    from rs_trafilatura_spark.operators.textstats import fingerprint
+    from rs_trafilatura_spark.operators.textstats import (
+        canonical_fingerprint, fingerprint,
+    )
 
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") < 5).select("text")
     hits = contamination_hits(docs, bench, n=13)
-    base = fingerprint(docs).join(hits, "doc_id", "left").select(
-        "doc_id", "fingerprint",
+    base = fingerprint(docs).join(
+        canonical_fingerprint(docs), "doc_id"
+    ).join(hits, "doc_id", "left").select(
+        "doc_id", "fingerprint", "canon_fingerprint",
         F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_contam_hits"),
         F.col("n_hits").isNotNull().alias("contaminated"),
     )
@@ -2881,6 +2885,8 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT list_distinct(flatten(list(grams))) AS bg "
             "FROM g WHERE doc_id < 5) "
             "SELECT doc_id, md5(text) AS fingerprint, "
+            "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
+            "'g'))) AS canon_fingerprint, "
             "CAST(len(list_intersect(grams, b.bg)) AS BIGINT) "
             "AS n_contam_hits, "
             "len(list_intersect(grams, b.bg)) > 0 "

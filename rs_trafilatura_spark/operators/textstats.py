@@ -454,3 +454,18 @@ def fix_mojibake(documents: DataFrame, col: str = "text") -> DataFrame:
     return documents.withColumn("fixed_text", fixed).withColumn(
         "moji_changed", F.col("fixed_text") != F.col(col)
     )
+
+
+def canonical_fingerprint(documents: DataFrame) -> DataFrame:
+    """Dolma/C4-style canonicalized dedup key: lowercase, every run of
+    non-[a-z0-9] characters collapsed to one space, trimmed, md5 —
+    catches trivially-varied duplicates (case, punctuation, whitespace,
+    smart quotes) that the byte-exact fingerprint misses.  Pure codegen;
+    the regex class keeps only ASCII alphanumerics, so Java/RE2 Unicode
+    case-mapping differences cannot leak into the hash."""
+    canon = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return documents.select(
+        "doc_id", F.md5(canon.cast("binary")).alias("canon_fingerprint")
+    )

@@ -575,3 +575,26 @@ def test_split_corpus_deterministic_and_leakage_safe(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         split_corpus(df, weights_x100=(("a", 60), ("b", 30)))
+
+
+def test_canonical_fingerprint_catches_trivial_variants(spark):
+    from rs_trafilatura_spark.operators.textstats import (
+        canonical_fingerprint, fingerprint,
+    )
+
+    rows = [
+        (0, "Hello, World!"),
+        (1, "hello world"),          # same after canonicalization
+        (2, "HELLO --- WORLD"),      # same after canonicalization
+        (3, "hello worlds"),         # different
+        (4, "  héllo wörld  "),      # non-ASCII stripped -> "h llo w rld"
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    canon = {r["doc_id"]: r["canon_fingerprint"]
+             for r in canonical_fingerprint(df).collect()}
+    exact = {r["doc_id"]: r["fingerprint"]
+             for r in fingerprint(df).collect()}
+    assert canon[0] == canon[1] == canon[2]
+    assert len({exact[0], exact[1], exact[2]}) == 3  # byte-exact differs
+    assert canon[3] != canon[0]
+    assert canon[4] != canon[0]
