@@ -257,6 +257,12 @@ def pretraining_pipeline(
         # until a language-ID join is layered on
         out["datasheet"] = corpus_datasheet(
             corpus, source_col="host", lang_col=None)
+        if split_weights_x100 is not None:
+            out["datasheet"] = out["datasheet"].unionByName(
+                corpus.groupBy("split").agg(
+                    F.count(F.lit(1)).cast("long").alias("value")
+                ).select(F.lit("docs_per_split").alias("section"),
+                         F.col("split").alias("key"), "value"))
 
     if seq_len is not None:
         from ..operators.packing import pack_sequences
