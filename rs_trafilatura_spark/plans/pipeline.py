@@ -264,19 +264,52 @@ def pretraining_pipeline(
                 ).select(F.lit("docs_per_split").alias("section"),
                          F.col("split").alias("key"), "value"))
 
+    # With splits assigned, packing is PER SPLIT: a training sequence or
+    # shard file must never contain eval text — mixing them would leak
+    # the eval split into training batches, defeating the split.
+    split_names = ([name for name, _ in split_weights_x100]
+                   if split_weights_x100 is not None else None)
+
     if seq_len is not None:
         from ..operators.packing import pack_sequences
 
-        out["sequences"] = pack_sequences(corpus, seq_len=seq_len)
+        if split_names is not None:
+            parts = [
+                pack_sequences(corpus.filter(F.col("split") == s),
+                               seq_len=seq_len)
+                .withColumn("split", F.lit(s))
+                for s in split_names
+            ]
+            seqs = parts[0]
+            for p in parts[1:]:
+                seqs = seqs.unionByName(p)
+            out["sequences"] = seqs  # (split, seq_id) is the key
+        else:
+            out["sequences"] = pack_sequences(corpus, seq_len=seq_len)
 
     if shard_out_dir is not None:
         if shard_budget_tokens is None:
             raise ValueError("shard_out_dir requires shard_budget_tokens")
+        import os
+
         from ..operators.packing import pack_shards, write_shards
 
-        packed = pack_shards(corpus, budget_tokens=shard_budget_tokens,
-                             carry=("text",))
-        out["shard_manifest"] = write_shards(packed, shard_out_dir).collect()
+        if split_names is not None:
+            manifest = []
+            for s in split_names:
+                packed = pack_shards(
+                    corpus.filter(F.col("split") == s),
+                    budget_tokens=shard_budget_tokens, carry=("text",))
+                manifest.extend(
+                    write_shards(packed,
+                                 os.path.join(shard_out_dir, f"split={s}"))
+                    .withColumn("split", F.lit(s)).collect())
+            out["shard_manifest"] = manifest
+        else:
+            packed = pack_shards(corpus, budget_tokens=shard_budget_tokens,
+                                 carry=("text",))
+            out["shard_manifest"] = write_shards(packed,
+                                                 shard_out_dir).collect()
         _record("shards_written", len(out["shard_manifest"]))
 
     return out

@@ -99,6 +99,8 @@ def main() -> None:
         seq_len=2048,
         shard_budget_tokens=1 << 20,
         shard_out_dir=out_dir,
+        datasheet=True,
+        split_weights_x100=(("train", 98), ("val", 1), ("test", 1)),
         on_stage=lambda s, n, sec: print(
             f"[stage] {s}: {n} rows in {sec}s", file=sys.stderr, flush=True),
     )
@@ -106,6 +108,9 @@ def main() -> None:
     t_seq = time.time()
     n_seq_rows = out["sequences"].count()
     out["stage_seconds"]["pack_sequences"] = round(time.time() - t_seq, 3)
+    t_ds = time.time()
+    datasheet_rows = out["datasheet"].count()
+    out["stage_seconds"]["datasheet"] = round(time.time() - t_ds, 3)
     total = round(time.time() - t0, 3)
     out["release"]()
 
@@ -121,6 +126,7 @@ def main() -> None:
         "stages": out["report"],
         "stage_seconds": out["stage_seconds"],
         "sequence_rows": n_seq_rows,
+        "datasheet_rows": datasheet_rows,
         "shards_written": len(out["shard_manifest"]),
         "pages_per_sec": round(N_PAGES / total, 1),
         "cpus": CPUS,

@@ -145,3 +145,36 @@ def test_pipeline_dsir_stage(spark):
         assert out["corpus"].count() == report["after_dsir_selection"]
     finally:
         out["release"]()
+
+
+def test_split_aware_packing_never_mixes_splits(spark, tmp_path):
+    """With splits assigned, sequences and shard files are packed PER
+    SPLIT — a training sequence or shard containing eval text would leak
+    the eval split into training batches."""
+    import gzip as _gzip
+
+    pages = generate_pages_df(spark, n_rows=150)
+    out = pretraining_pipeline(
+        spark, pages,
+        split_weights_x100=(("train", 90), ("val", 5), ("test", 5)),
+        seq_len=64, shard_budget_tokens=500,
+        shard_out_dir=str(tmp_path / "shards"),
+    )
+    try:
+        split_of = {r["doc_id"]: r["split"] for r in
+                    out["corpus"].select("doc_id", "split").collect()}
+        seqs = out["sequences"].collect()
+        assert seqs
+        assert all(split_of[r["doc_id"]] == r["split"] for r in seqs)
+        for m in out["shard_manifest"]:
+            payload = _gzip.decompress(open(m["file"], "rb").read()).decode()
+            for line in payload.splitlines():
+                assert split_of[int(line.split("\t", 1)[0])] == m["split"]
+        # per-split token conservation: packing loses/creates nothing
+        for s in ("train", "val", "test"):
+            t_corpus = (out["corpus"].filter(F.col("split") == s)
+                        .agg(F.sum("n_tokens")).collect()[0][0] or 0)
+            assert sum(r["n_tokens"] for r in seqs
+                       if r["split"] == s) == t_corpus
+    finally:
+        out["release"]()
