@@ -69,9 +69,14 @@ def pretraining_pipeline(
     - ``stage_seconds``: {stage: wall seconds} — each report count is a
       forced materialization, so the gap between counts IS that stage's
       cost (the first entry also carries Spark/session warmup),
-    - ``sequences``: pack_sequences assignment (when ``seq_len``),
+    - ``sequences``: pack_sequences assignment (when ``seq_len``; with
+      ``split_weights_x100`` set, packed per split and carrying a
+      ``split`` column — (split, seq_id) is then the key),
     - ``shard_manifest``: written-shard manifest rows (when
-      ``shard_out_dir``; requires ``shard_budget_tokens``),
+      ``shard_out_dir``; requires ``shard_budget_tokens``; with splits,
+      one sub-directory per split and a ``split`` field per row),
+    - ``datasheet``: the release summary sheet (when ``datasheet=True``;
+      includes a docs_per_split section when splits are assigned),
     - ``release``: zero-arg callable freeing every cache this run owns
       (the gate caches below + the curation cache) — call it when done
       with ``corpus``/``sequences``.
