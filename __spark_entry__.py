@@ -1234,29 +1234,51 @@ def q_pack_shards(spark, sf_dir):
 
 
 def q_write_shards(spark, sf_dir):
-    """The shard WRITER end to end: pack_shards assignment -> one
-    shard-NNNNNNN.txt.gz file per shard -> the written manifest, with
-    content_md5 = md5 of each file's uncompressed payload — a wrong
-    assignment, ordering, or byte emitted by the writer changes the md5
-    the oracle recomputes from the table alone (deterministic
-    doc_id\\tn_tokens\\ttext\\n lines sorted by doc_id)."""
+    """The SPLIT-AWARE shard WRITER end to end (r6 widening): leakage-safe
+    train/val/test assignment -> per-split pack_shards -> one
+    shard-NNNNNNN.txt.gz file per (split, shard) -> the written manifest,
+    with content_md5 = md5 of each file's uncompressed payload.  A wrong
+    split gate, assignment, ordering, or byte emitted by the writer
+    changes the md5 the oracle recomputes from the table alone
+    (deterministic doc_id\\tn_tokens\\ttext\\n lines sorted by doc_id,
+    cumsum PARTITIONED by split) — this oracle-pins the
+    never-mix-splits guarantee of plans/pipeline.py's per-split packing
+    composition: a doc in the wrong split lands in the wrong file and
+    flips two md5s."""
+    import os
     import shutil
     import tempfile
 
     from rs_trafilatura_spark.operators.packing import (
-        pack_shards, write_shards,
+        pack_shards, split_corpus, write_shards,
     )
 
     _ensure_pyfiles(spark)
-    packed = pack_shards(_docs(spark, sf_dir), budget_tokens=2000,
-                         bucket_width=64, carry=("text",))
+    split_gate = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long"),
+        F.lit(100),
+    )
+    splits = split_corpus(_docs(spark, sf_dir), key_col="doc_id",
+                          gate_col=split_gate)
     out_dir = tempfile.mkdtemp(prefix="rs_traf_shards_")
+    manifest = []
     try:
-        manifest = write_shards(packed, out_dir).collect()
+        # mirrors plans/pipeline.py: packing runs PER SPLIT so a shard
+        # file can never contain mixed train/eval text
+        for s in ("train", "val", "test"):
+            packed = pack_shards(splits.filter(F.col("split") == s),
+                                 budget_tokens=2000, bucket_width=64,
+                                 carry=("text",))
+            for r in write_shards(
+                    packed, os.path.join(out_dir, f"split={s}")).collect():
+                d = r.asDict()
+                d["split"] = s
+                manifest.append(d)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(manifest).select(
-        "shard_id", "n_docs", "shard_tokens", "content_md5"
+        "split", "shard_id", "n_docs", "shard_tokens", "content_md5"
     )
 
 
@@ -2885,8 +2907,8 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT list_distinct(flatten(list(grams))) AS bg "
             "FROM g WHERE doc_id < 5) "
             "SELECT doc_id, md5(text) AS fingerprint, "
-            "md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', "
-            "'g'))) AS canon_fingerprint, "
+            "md5(lower(trim(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', "
+            "'g')))) AS canon_fingerprint, "
             "CAST(len(list_intersect(grams, b.bg)) AS BIGINT) "
             "AS n_contam_hits, "
             "len(list_intersect(grams, b.bg)) > 0 "
@@ -3177,24 +3199,33 @@ def oracle_sql() -> dict[str, str]:
             "CAST((strt + n_tokens - 1) // 64 + 1 AS BIGINT))) AS s(seq_id)"
         ),
         "write_shards": (
-            # the writer's per-shard payload recomputed from the table:
-            # same assignment cumsum as pack_shards, then md5 over the
-            # exact doc_id\t n_tokens\t text\n lines in doc_id order
+            # r6: the SPLIT-AWARE writer recomputed from the table alone:
+            # md5-prefix gate -> 98/1/1 split, cumsum PARTITIONED BY split
+            # (pipeline packs each split independently, so a shard can
+            # never mix train/eval text), then md5 over the exact
+            # doc_id\t n_tokens\t text\n lines in doc_id order.
+            # sum() is CAST to BIGINT: DuckDB's HUGEINT lands in pandas as
+            # float64 and hash-mismatches an integer-equal Spark column.
             "WITH t AS (SELECT doc_id, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
-            "text FROM documents), "
-            "c AS (SELECT doc_id, n_tokens, text, sum(n_tokens) OVER "
-            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
-            "a AS (SELECT doc_id, n_tokens, text, "
+            "text, CASE WHEN g < 98 THEN 'train' WHEN g < 99 THEN 'val' "
+            "ELSE 'test' END AS split FROM (SELECT *, "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 100 AS BIGINT) AS g FROM documents)), "
+            "c AS (SELECT split, doc_id, n_tokens, text, "
+            "sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM t), "
+            "a AS (SELECT split, doc_id, n_tokens, text, "
             "CAST(floor((cum - n_tokens) / 2000.0) AS BIGINT) AS shard_id "
             "FROM c) "
-            "SELECT shard_id, count(*) AS n_docs, "
-            "sum(n_tokens) AS shard_tokens, "
+            "SELECT split, shard_id, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS shard_tokens, "
             "md5(string_agg(doc_id || chr(9) || n_tokens || chr(9) || "
             "replace(replace(replace(text, '\\', '\\\\'), chr(10), '\\n'), "
             "chr(9), '\\t') "
             "|| chr(10), '' ORDER BY doc_id)) AS content_md5 "
-            "FROM a GROUP BY shard_id"
+            "FROM a GROUP BY split, shard_id"
         ),
         "warc_cdx_fetch": (
             # exact page bytes reconstructed from the template: a wrong
@@ -3319,7 +3350,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS url_kw_hits, "
             "regexp_matches(url, '\\.(js|css|json|xml|rss|atom|jpg|jpeg"
             "|png|gif|webp|svg|ico|mp3|mp4|avi|zip|gz|tar|exe|dmg|apk"
-            "|woff2?)$') AS ext_blocked FROM u) "
+            "|woff2?)([?#]|$)') AS ext_blocked FROM u) "
             "SELECT r.host, CAST(r.rank AS BIGINT) AS rank, r.doc_id, "
             "a.url, a.domain_blocked, a.url_kw_hits, a.ext_blocked, "
             "(NOT a.domain_blocked AND a.url_kw_hits = 0 "

@@ -336,6 +336,9 @@ def split_corpus(documents: DataFrame,
     total = sum(w for _, w in weights_x100)
     if total != 100:
         raise ValueError(f"weights_x100 must sum to 100, got {total}")
+    if len(weights_x100) == 1:
+        # degenerate single-split config: everything lands in it
+        return documents.withColumn("split", F.lit(weights_x100[0][0]))
     gate = (gate_col if gate_col is not None
             else F.pmod(F.xxhash64(key_col, F.lit(salt)), F.lit(100)))
     expr = None

@@ -316,9 +316,18 @@ REPETITION_THRESHOLDS_X1000 = {
 
 _REP_COLS = list(REPETITION_THRESHOLDS_X1000)
 
+# Semantic note (deviation from Gopher Table A1): top{n}_char counts the
+# characters of OVERLAPPING occurrences of the most-frequent n-gram
+# multiply (max over grams of count * len(gram) / join_len), so on
+# degenerate runs like "a a a a" it can exceed 1000; the paper's
+# statistic is a character fraction bounded by 1.  Both the Spark side
+# and the DuckDB oracle compute the SAME statistic, and it is strictly
+# >= the paper's (each covered position counted at least once), so the
+# filter is slightly stricter than Gopher's — never more permissive.
+# The dup{n}_char metrics already count each character position once.
+
 REPETITION_SCHEMA = (
-    "doc_id bigint, "
-    + ", ".join(f"{c} bigint" for c in _REP_COLS)
+    ", ".join(f"{c} bigint" for c in _REP_COLS)
     + ", repetition_pass boolean"
 )
 
@@ -393,7 +402,11 @@ def gopher_repetition(documents: DataFrame,
     import pandas as pd
 
     carry = tuple(c for c in carry if c != "doc_id")
-    schema = REPETITION_SCHEMA + "".join(
+    # doc_id's type is derived from the input schema like the carry
+    # columns (a corpus with string doc_ids must not fail in the Arrow
+    # conversion just because the pipeline's ids happen to be xxhash64)
+    id_type = documents.schema["doc_id"].dataType.simpleString()
+    schema = f"doc_id {id_type}, " + REPETITION_SCHEMA + "".join(
         f", {c} {documents.schema[c].dataType.simpleString()}"
         for c in carry
     )
@@ -460,12 +473,15 @@ def canonical_fingerprint(documents: DataFrame) -> DataFrame:
     """Dolma/C4-style canonicalized dedup key: lowercase, every run of
     non-[a-z0-9] characters collapsed to one space, trimmed, md5 —
     catches trivially-varied duplicates (case, punctuation, whitespace,
-    smart quotes) that the byte-exact fingerprint misses.  Pure codegen;
-    the regex class keeps only ASCII alphanumerics, so Java/RE2 Unicode
-    case-mapping differences cannot leak into the hash."""
-    canon = F.trim(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-    )
+    smart quotes) that the byte-exact fingerprint misses.  Pure codegen.
+    The collapse runs on the RAW text and lower() only ever sees the
+    ASCII-only survivor: lowering first would let one-to-many case
+    mappings (U+0130 'İ' -> 'i'+U+0307 on the JVM, a single codepoint in
+    RE2-based engines) shift the run boundaries of the collapse and
+    desync the hash between engines."""
+    canon = F.lower(F.trim(
+        F.regexp_replace(F.col("text"), "[^a-zA-Z0-9]+", " ")
+    ))
     return documents.select(
         "doc_id", F.md5(canon.cast("binary")).alias("canon_fingerprint")
     )

@@ -25,8 +25,12 @@ DEFAULT_URL_KEYWORDS: tuple[str, ...] = (
 )
 
 NON_CONTENT_EXT_RE = (
+    # matched at end-of-path OR just before a query/fragment, so
+    # '/app.js?v=2' and '/img.png#x' don't bypass the gate.  Consuming
+    # ([?#]|$) group, not a lookahead: the oracle mirror runs under
+    # DuckDB's RE2, which has no lookahead.
     r"\.(js|css|json|xml|rss|atom|jpg|jpeg|png|gif|webp|svg|ico|mp3|mp4"
-    r"|avi|zip|gz|tar|exe|dmg|apk|woff2?)$"
+    r"|avi|zip|gz|tar|exe|dmg|apk|woff2?)([?#]|$)"
 )
 
 

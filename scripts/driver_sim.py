@@ -21,9 +21,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Deliberately strict about numeric dtype: a DuckDB HUGEINT aggregate
+    # lands in pandas as float64 and must NOT hash-equal an integer-typed
+    # Spark column (the real driver distinguishes 3968.0 from 3968 —
+    # write_shards went red on exactly this in r5).  Floats keep a ".0"
+    # marker; ints stringify plainly.
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == int(v) and abs(v) < 2**53:
+            return f"{v:.1f}"
         return f"{v:.9g}"
     return str(v)
 
