@@ -13,10 +13,11 @@ semi-join while the shuffled volume drops from |new| to
 
 Spark 4 keeps ``bloom_filter_agg`` internal (runtime-filter machinery,
 not a public SQL function), so the filter is built the distributed way:
-every Arrow batch of history hashes becomes a local numpy bitset
-(mapInPandas, one binary row per batch), the driver ORs the batch
-bitsets (num_bits/8 bytes each — 1 MiB at 2^23), and the probe side is
-an Arrow-batched vectorized numpy bit test.  Hashing is double-hashed
+each TASK folds all its Arrow batches of history hashes into one local
+numpy bitset (mapInPandas, exactly one binary row per partition), the
+driver ORs the per-task bitsets (num_bits/8 bytes each — 1 MiB at 2^23,
+O(partitions) total), and the probe side is an Arrow-batched vectorized
+numpy bit test.  Hashing is double-hashed
 md5 (h1 + i*h2 mod m, the standard k-probe construction) — fully
 deterministic, no RNG.
 
@@ -45,28 +46,45 @@ def _probe_indices(md5_hex, num_bits: int, k: int) -> np.ndarray:
 
 def build_bloom(docs: DataFrame, num_bits: int = DEFAULT_NUM_BITS,
                 k: int = DEFAULT_K) -> bytes:
-    """Distributed Bloom build over md5(text): each Arrow batch yields a
-    local bitset; the driver ORs them.  Collect volume is
-    O(batches x num_bits/8), not O(docs)."""
+    """Distributed Bloom build over md5(text): ONE bitset per task —
+    allocated before the Arrow-batch loop, every batch ORed into it,
+    yielded exactly once when the partition is exhausted — so the driver
+    collect is O(partitions x num_bits/8), independent of document count
+    and of Arrow's maxRecordsPerBatch.  (The r5 shape allocated a bitset
+    per BATCH: at 10k-row Arrow batches that made the collect ~250x
+    larger, fatal at the 2^33-bit sizing below.)
+
+    Scale rungs by filter size m: at m = 2^23 (1 MiB/part) this collect
+    is nothing; at m ≥ 2^30 (128 MiB/part) run the build on a coalesced
+    handful of partitions or tree-reduce — pairwise-OR the per-task
+    bitsets through an intermediate groupBy(part_id % fanin) round so no
+    single collect exceeds fanin x m/8 bytes — before the final driver
+    OR; the serialized result still broadcasts once."""
+    parts = _task_bitsets(docs, num_bits, k).collect()
+    acc = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+    for row in parts:
+        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return acc.tobytes()
+
+
+def _task_bitsets(docs: DataFrame, num_bits: int, k: int) -> DataFrame:
+    """One (bits binary) row PER TASK — the collect volume contract of
+    ``build_bloom``, split out so a test can pin rows == partitions."""
     hashed = docs.select(F.md5("text").alias("_h"))
 
-    def batches(it):
+    def per_task(it):
         import pandas as pd
 
+        bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
         for pdf in it:
-            bits = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
             if len(pdf):
                 idx = _probe_indices(pdf["_h"].tolist(), num_bits, k)
                 flat = idx.ravel()
                 np.bitwise_or.at(bits, flat // 8,
                                  (1 << (flat % 8)).astype(np.uint8))
-            yield pd.DataFrame({"bits": [bits.tobytes()]})
+        yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(batches, "bits binary").collect()
-    acc = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
-    for row in parts:
-        acc |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return acc.tobytes()
+    return hashed.mapInPandas(per_task, "bits binary")
 
 
 def seen_filter(new_docs: DataFrame, old_docs: DataFrame,

@@ -444,6 +444,38 @@ def test_bloom_seen_filter_matches_exact_join(spark):
     assert not any(out[2000 + i] for i in range(70))
 
 
+def test_bloom_one_bitset_row_per_task(spark):
+    """The build collect must be O(partitions), not O(Arrow batches):
+    with maxRecordsPerBatch forced tiny (many batches per partition) the
+    per-task stage still emits exactly one binary row per partition."""
+    from rs_trafilatura_spark.operators.bloom import (
+        _task_bitsets, build_bloom, _probe_indices,
+    )
+    import numpy as np
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "7")  # 50 rows/partition -> 8 batches/partition
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"doc text {i}") for i in range(200)],
+            ["doc_id", "text"]).repartition(4)
+        rows = _task_bitsets(docs, 1 << 16, 2).collect()
+        assert len(rows) == 4
+        # and the ORed result still contains every document
+        bits = np.frombuffer(build_bloom(docs, 1 << 16, 2), dtype=np.uint8)
+        import hashlib
+        hs = [hashlib.md5(f"doc text {i}".encode()).hexdigest()
+              for i in range(200)]
+        idx = _probe_indices(hs, 1 << 16, 2)
+        assert ((bits[idx // 8] & (1 << (idx % 8)).astype(np.uint8)) != 0).all()
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def test_bloom_bitset_properties():
     """No false negatives by construction; a fresh hash misses (fill
     factor ~1e-4 => false-hit probability ~1e-16 at k=4)."""
