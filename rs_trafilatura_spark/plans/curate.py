@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..options import DEFAULT_OPTIONS, Options
 from .job import run_extraction
@@ -51,37 +51,78 @@ def curate_pages(
         .otherwise(F.lit(None).cast("string")),
     )
 
-    # exact dedup: first KEPT url (by sort) per fingerprint survives.
-    # Rows already gated out sort last so a too_short/low_quality copy can
-    # never claim rank 1 and shadow the surviving good copy.
-    w = Window.partitionBy("fingerprint").orderBy(
-        F.col("drop_reason").isNotNull(), "url"
+    # exact dedup: first KEPT url (min by sort) per fingerprint survives.
+    # Rows already gated out sort last (gated flag leads the struct) so a
+    # too_short/low_quality copy can never shadow the surviving good copy.
+    #
+    # Deliberately NOT a row_number window on fingerprint: a window sends
+    # every copy of a hot fingerprint (a parked-domain page duplicated
+    # 10^8 times at 100 TB) to ONE task with no partial aggregation and
+    # no AQE remedy.  The groupBy-min(struct) collapses the hot key
+    # map-side to one row per task before the shuffle, and the join-back
+    # is an equi-join AQE's skew-join splitting can handle — the same
+    # pattern operators/dedup.py uses for corpus-wide paragraph dedup.
+    #
+    # The join-back reads with_reason twice (winners aggregate + probe),
+    # and with_reason is the full extraction output — so it is persisted
+    # here and handed to the pipeline's cache generations below; without
+    # it the kernel would run twice per materialization.
+    #
+    # url is the crawl identity and assumed unique per input row; two
+    # rows with the SAME url and fingerprint both survive (upstream
+    # revision dedup owns that case).
+    while _PENDING_CACHE:
+        _PENDING_CACHE.pop().unpersist()
+    from pyspark import StorageLevel
+
+    with_reason = with_reason.persist(StorageLevel.MEMORY_AND_DISK)
+    _PENDING_CACHE.append(with_reason)
+
+    winners = (
+        with_reason
+        .filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.min(F.struct(
+            F.col("drop_reason").isNotNull().alias("gated"),
+            F.col("url").alias("url"),
+        )).alias("_w"))
     )
-    deduped = with_reason.withColumn(
-        "_rank",
-        F.when(F.col("drop_reason").isNotNull() | F.col("fingerprint").isNull(), 1)
-        .otherwise(F.row_number().over(w)),
-    ).withColumn(
-        "drop_reason",
-        F.when(
-            F.col("drop_reason").isNull() & (F.col("_rank") > 1),
-            F.lit("exact_duplicate"),
-        ).otherwise(F.col("drop_reason")),
-    ).drop("_rank")
+    deduped = (
+        with_reason.join(winners, "fingerprint", "left")
+        .withColumn(
+            "drop_reason",
+            F.when(
+                F.col("drop_reason").isNull()
+                & (F.col("_w.url") != F.col("url")),
+                F.lit("exact_duplicate"),
+            ).otherwise(F.col("drop_reason")),
+        )
+        .drop("_w")
+        .select(*with_reason.columns)
+    )
 
     return deduped
 
 
-# The frame mark_near_duplicates auto-persisted on its last call (at most
-# one): released on the next call or explicitly via release_cache().
+# Cache generations.  _PENDING_CACHE holds the with_reason frame the
+# LAST curate_pages call persisted (its deduped output is usually not
+# materialized yet); mark_near_duplicates ADOPTS it into _OWNED_CACHE at
+# entry — releasing it there would force the kernel to run twice when
+# the curated frame finally materializes.  _OWNED_CACHE holds the frames
+# backing the last fully-composed pipeline: released on the next
+# mark_near_duplicates call or explicitly via release_cache().
+_PENDING_CACHE: list[DataFrame] = []
 _OWNED_CACHE: list[DataFrame] = []
 
 
 def release_cache() -> None:
-    """Unpersist the frame the last mark_near_duplicates call cached (no-op
-    if the caller persisted its own input, or nothing is cached)."""
+    """Unpersist every frame the last curate_pages/mark_near_duplicates
+    calls cached (no-op if the caller persisted its own input, or
+    nothing is cached)."""
     while _OWNED_CACHE:
         _OWNED_CACHE.pop().unpersist()
+    while _PENDING_CACHE:
+        _PENDING_CACHE.pop().unpersist()
 
 
 def mark_near_duplicates(curated: DataFrame,
@@ -135,8 +176,14 @@ def mark_near_duplicates(curated: DataFrame,
 
     # release the previous call's owned caches up front (covers the
     # caller-persisted-input branch too, where the wide frame is never
-    # persisted here but the narrow docs cache below still is)
-    release_cache()
+    # persisted here but the narrow docs cache below still is), then
+    # ADOPT the with_reason cache the producing curate_pages call left
+    # pending — it backs both sides of the exact-dedup join inside
+    # `curated` and must outlive this pipeline's materialization
+    while _OWNED_CACHE:
+        _OWNED_CACHE.pop().unpersist()
+    while _PENDING_CACHE:
+        _OWNED_CACHE.append(_PENDING_CACHE.pop())
     if curated.storageLevel == StorageLevel.NONE:
         curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
         _OWNED_CACHE.append(curated)

@@ -115,3 +115,38 @@ def test_mark_near_duplicates_clusters_vs_pairs_star(spark):
     clusters = outcome("clusters")
     assert clusters == {"center": "near_duplicate", "leaf1": None,
                         "leaf2": "near_duplicate"}
+
+
+def test_exact_dedup_hot_fingerprint_no_window(spark):
+    """Skew contract of the exact dedup (VERDICT r5 #4): a hot
+    fingerprint (the same kept text under 10^4 urls) must dedup through
+    the map-side-combinable groupBy-min(struct) + join-back, NOT a
+    row_number window on fingerprint — a window ships every copy of the
+    hot key to one task with no partial aggregation and no AQE remedy."""
+    from rs_trafilatura_spark.plans.curate import release_cache
+
+    body = ("Hot parked-domain body with plenty of substantive words to "
+            "pass every quality and length gate in the pipeline. " * 4)
+    html = ("<!doctype html><html lang=\"en\"><head><title>T</title></head>"
+            f"<body><article><p>{body}</p></article></body></html>"
+            ).encode("utf-8")
+    n = 10_000
+    pages = spark.createDataFrame(
+        [(f"https://h{i:05d}.example/p", html, "en") for i in range(n)],
+        "url string, html binary, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+
+    curated = curate_pages(spark, pages, Options(deduplicate=True),
+                           min_chars=120)
+    plan = curated._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "exact dedup must not use a Window"
+
+    out = curated.groupBy("drop_reason").count().collect()
+    by_reason = {r["drop_reason"]: r["count"] for r in out}
+    assert by_reason.get("exact_duplicate") == n - 1
+    assert by_reason.get(None) == 1
+    # min-url survivor (gated-rows-lose ordering preserved)
+    survivor = curated.filter(F.col("drop_reason").isNull()) \
+        .select("url").first()["url"]
+    assert survivor == "https://h00000.example/p"
+    release_cache()
