@@ -22,14 +22,22 @@ _ATTR_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}
 
 
 def escape_text(s: str) -> str:
-    for k, v in _ESCAPES.items():
-        s = s.replace(k, v)
+    # presence check first: the overwhelming majority of text chunks have
+    # nothing to escape, and three `in` scans allocate nothing while each
+    # replace() copies the string (profiled ~100k replace calls/24 pages)
+    if "&" in s:
+        s = s.replace("&", "&amp;")
+    if "<" in s:
+        s = s.replace("<", "&lt;")
+    if ">" in s:
+        s = s.replace(">", "&gt;")
     return s
 
 
 def escape_attr(s: str) -> str:
     for k, v in _ATTR_ESCAPES.items():
-        s = s.replace(k, v)
+        if k in s:
+            s = s.replace(k, v)
     return s
 
 
@@ -51,7 +59,8 @@ class Element:
 
     __slots__ = ("tag", "attrib", "children", "parent", "text", "tail",
                  "_srcpos", "_desc_cache", "_desc_gen",
-                 "_text_cache", "_text_gen")
+                 "_text_cache", "_text_gen",
+                 "_classed_cache", "_classed_gen")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None):
         self.tag = tag
@@ -66,6 +75,8 @@ class Element:
         self._desc_gen: int = -1
         self._text_cache: Optional[str] = None
         self._text_gen: int = -1
+        self._classed_cache: Optional[list] = None
+        self._classed_gen: int = -1
 
     # --- construction -----------------------------------------------------
     def append(self, child: "Element") -> None:
@@ -140,6 +151,23 @@ class Element:
         self._desc_gen = _TREE_GEN
         return out
 
+    def classed_desc_list(self) -> list:
+        """Descendants carrying a ``class`` or ``id`` attribute, in
+        document order — the only elements a tagless class/id selector
+        can possibly match, typically a small fraction of the tree.
+        Cached per structural generation like desc_list(); derived from
+        it, so the full walk is shared.  Attribute EDITS don't bump the
+        generation, but the kernel never adds class/id attributes after
+        parse (grep-audited: attrib writes are confined to the parser and
+        to copies), so membership is stable within a generation."""
+        if self._classed_gen == _TREE_GEN and self._classed_cache is not None:
+            return self._classed_cache
+        out = [el for el in self.desc_list()
+               if "class" in el.attrib or "id" in el.attrib]
+        self._classed_cache = out
+        self._classed_gen = _TREE_GEN
+        return out
+
     def ancestors(self) -> Iterator["Element"]:
         cur = self.parent
         while cur is not None:
@@ -208,11 +236,23 @@ class Element:
         stack: list = [self]
         push = stack.append
         pop = stack.pop
+        first = True
         while stack:
             item = pop()
             if type(item) is str:
                 append(item)
                 continue
+            # reuse a descendant's still-valid cache: its string is
+            # exactly item.text + subtree texts/tails (no own tail, which
+            # the parent iteration already pushed), so substituting it is
+            # byte-identical and turns the post-p-texts body/section
+            # walks in ml_features from O(n*depth) into ~O(n)
+            if (not first and item._text_gen == _TREE_GEN
+                    and item._text_cache is not None):
+                if item._text_cache:
+                    append(item._text_cache)
+                continue
+            first = False
             if item.text:
                 append(item.text)
             for child in reversed(item.children):

@@ -51,12 +51,15 @@ def _parse_attr(body: str) -> Callable[[Element], bool]:
 
 
 class _Compound:
-    __slots__ = ("tag", "preds")
+    __slots__ = ("tag", "preds", "needs_cls_or_id")
 
     def __init__(self, token: str):
         m = _SIMPLE_RE.match(token)
         self.tag: Optional[str] = None
         self.preds: list[Callable[[Element], bool]] = []
+        # True when no element LACKING both class and id can match: lets
+        # iter_select scan the (much shorter) classed_desc_list snapshot
+        self.needs_cls_or_id = False
         if not m:
             return
         tag = m.group("tag")
@@ -66,6 +69,7 @@ class _Compound:
             if pm.group(1):
                 ident = pm.group(1)
                 self.preds.append(lambda el, i=ident: el.attrib.get("id") == i)
+                self.needs_cls_or_id = True
             elif pm.group(2):
                 cls = pm.group(2)
                 # substring pre-filter: token membership implies substring,
@@ -76,8 +80,17 @@ class _Compound:
                         and c in a and c in a.split()
                     )
                 )
+                self.needs_cls_or_id = True
             elif pm.group(3):
-                self.preds.append(_parse_attr(pm.group(3)))
+                body = pm.group(3).strip()
+                attr_m = _ATTR_RE.match(body)
+                if attr_m and attr_m.group(1) in ("class", "id"):
+                    # presence/[class*=..]/[id^=..] etc. all require the
+                    # attribute to exist, except never-matching bodies
+                    # (which _parse_attr maps to const-False — also safe
+                    # to restrict to any subset)
+                    self.needs_cls_or_id = True
+                self.preds.append(_parse_attr(body))
 
     def matches(self, el: Element) -> bool:
         if self.tag is not None and el.tag != self.tag:
@@ -167,13 +180,14 @@ def _last_tag_dispatch(selector: str):
 
 @lru_cache(maxsize=4096)
 def _single_step_compounds(selector: str):
-    """[(tag, preds)] when every chain is one compound; else None."""
+    """[(tag, preds, needs_cls_or_id)] when every chain is one compound;
+    else None."""
     out = []
     for ch in _compile(selector):
         if len(ch.steps) != 1:
             return None
         comp = ch.steps[0][1]
-        out.append((comp.tag, tuple(comp.preds)))
+        out.append((comp.tag, tuple(comp.preds), comp.needs_cls_or_id))
     return tuple(out) if out else None
 
 
@@ -204,13 +218,17 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     if len(chains) == 1 and len(chains[0].steps) == 1:
         comp = chains[0].steps[0][1]
         tag, preds = comp.tag, comp.preds
+        # class/id-gated compounds can only match elements that HAVE a
+        # class or id: scan that (much shorter) per-generation snapshot
+        scan = (root.classed_desc_list() if comp.needs_cls_or_id
+                else root.desc_list())
         if len(preds) == 1:
             pred = preds[0]
-            for el in root.desc_list():
+            for el in scan:
                 if (tag is None or el.tag == tag) and pred(el):
                     yield el
             return
-        for el in root.desc_list():
+        for el in scan:
             if tag is None or el.tag == tag:
                 for p in preds:
                     if not p(el):
@@ -235,9 +253,13 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     # tag/pred checks, skipping two method hops per chain per element
     comps = _single_step_compounds(selector)
     if comps is not None:
-        for el in root.desc_list():
+        # the union can only skip class/id-less elements when EVERY
+        # branch is class/id-gated (a branch is an OR alternative)
+        scan = (root.classed_desc_list()
+                if all(c[2] for c in comps) else root.desc_list())
+        for el in scan:
             tag = el.tag
-            for ctag, preds in comps:
+            for ctag, preds, _needs in comps:
                 if ctag is not None and tag != ctag:
                     continue
                 for p in preds:

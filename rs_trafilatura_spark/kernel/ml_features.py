@@ -555,7 +555,10 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[38] = float(n_code_pre)
     f[39] = 1.0 if has_docsnav else 0.0
 
-    p_words = sum(len(t.split()) for t in p_texts)
+    # one C-level split of the joined text: a single-space join can never
+    # merge words across paragraph boundaries and split() collapses
+    # whitespace runs, so the count equals sum(len(t.split()) for t)
+    p_words = len(" ".join(p_texts).split())
     f[40] = len(links) / p_words if p_words else 0.0
     f[41] = float(p_words)
     f[42] = float(n_grid_cls)
@@ -619,9 +622,18 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
             if anc.tag in ("section", "article", "div"):
                 a_counts[id(anc)] = a_counts.get(id(anc), 0) + 1
             anc = anc.parent
+    # prime text_content caches deepest-first (sections is in pre-order,
+    # so reversed() visits children before parents and every parent walk
+    # reuses its child sections' cached strings — O(n) total instead of
+    # O(n*depth)); the ratios list itself is built in the ORIGINAL order
+    # so f[70]'s float summation order (and thus its exact value) is
+    # unchanged
+    sec_len: dict[int, int] = {}
+    for el in reversed(sections):
+        sec_len[id(el)] = len(el.text_content().strip())
     ratios = []
     for el in sections:
-        text_len = len(el.text_content().strip())
+        text_len = sec_len[id(el)]
         if text_len > 50:
             ratios.append(a_counts.get(id(el), 0) / text_len * 1000.0)
     if len(ratios) >= 3:
