@@ -891,9 +891,13 @@ def q_corpus_datasheet(spark, sf_dir):
     """Release datasheet for the corpus (operators/datasheet.py: totals,
     uniqueness, per-source/per-language composition, discrete token
     percentiles) UNIONED with the extraction stage-metrics section the
-    row previously pinned alone — one tall (section, key, value) frame,
-    every value integer-exact in both engines."""
+    row previously pinned alone, and (r6) with the by-GUESSED-language
+    section the pipeline's guess_language flag produces: the datasheet's
+    lang_col path driven by language_guess_col's 10-language stopword
+    argmax instead of the stored lang column — one tall (section, key,
+    value) frame, every value integer-exact in both engines."""
     from rs_trafilatura_spark.operators.datasheet import corpus_datasheet
+    from rs_trafilatura_spark.operators.textstats import language_guess_col
     from rs_trafilatura_spark.plans import stage_metrics
 
     docs = _docs(spark, sf_dir)
@@ -903,7 +907,16 @@ def q_corpus_datasheet(spark, sf_dir):
         F.col("stage").alias("key"),
         F.col("n_pages").cast("long").alias("value"),
     )
-    return corpus_datasheet(docs).unionByName(stages)
+    guessed = (
+        corpus_datasheet(
+            docs.withColumn("lang_guess", language_guess_col()),
+            lang_col="lang_guess",
+        )
+        .filter(F.col("section") == "docs_per_lang")
+        .select(F.lit("docs_per_guessed_lang").alias("section"),
+                "key", "value")
+    )
+    return corpus_datasheet(docs).unionByName(stages).unionByName(guessed)
 
 
 # planted cross-document duplicate paragraph so paragraph_dedup provably
@@ -2456,6 +2469,22 @@ FROM kept k LEFT JOIN closers c ON k.id = c.c_loser
 """
 
 
+def _lang_guess_case() -> str:
+    """The priority-ordered argmax CASE (no alias), generated from the
+    same LANG_PRIORITY/STOPWORDS tables as the operator."""
+    from rs_trafilatura_spark.operators.textstats import LANG_PRIORITY
+
+    h = {lang: _stop_cases(lang) for lang in LANG_PRIORITY}
+    case = "CASE "
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        conds = " AND ".join(
+            f"{h[lang]} >= {h[o]}" for o in LANG_PRIORITY[i + 1:]
+        )
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += f"ELSE '{LANG_PRIORITY[-1]}' END"
+    return case
+
+
 def _language_id_oracle_sql() -> str:
     """Generated from the same LANG_PRIORITY/STOPWORDS tables as the
     operator: hits per language + priority-ordered argmax CASE."""
@@ -2463,14 +2492,8 @@ def _language_id_oracle_sql() -> str:
 
     h = {lang: _stop_cases(lang) for lang in LANG_PRIORITY}
     sel = ", ".join(f"{h[lang]} AS {lang}_hits" for lang in LANG_PRIORITY)
-    case = "CASE "
-    for i, lang in enumerate(LANG_PRIORITY[:-1]):
-        conds = " AND ".join(
-            f"{h[lang]} >= {h[o]}" for o in LANG_PRIORITY[i + 1:]
-        )
-        case += f"WHEN {conds} THEN '{lang}' "
-    case += f"ELSE '{LANG_PRIORITY[-1]}' END AS lang_guess"
-    return f"SELECT doc_id, {sel}, {case} FROM documents"
+    return (f"SELECT doc_id, {sel}, {_lang_guess_case()} AS lang_guess "
+            "FROM documents")
 
 
 def _stop_cases(lang: str) -> str:
@@ -3158,6 +3181,10 @@ def oracle_sql() -> dict[str, str]:
             _datasheet_oracle_sql()
             + " UNION ALL SELECT 'extraction_stage' AS section, "
             "'main' AS key, count(*) AS value FROM documents"
+            + " UNION ALL SELECT 'docs_per_guessed_lang' AS section, "
+            "lang_guess AS key, CAST(count(*) AS BIGINT) AS value FROM "
+            f"(SELECT {_lang_guess_case()} AS lang_guess FROM documents) g "
+            "GROUP BY lang_guess"
         ),
         "minhash_lsh_pairs": (
             # all-pairs exact shingle-set Jaccard; the Spark side must find

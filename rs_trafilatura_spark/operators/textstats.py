@@ -48,6 +48,23 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def language_guess_col():
+    """The lang-guess as a single Column over hit counts recomputed
+    inline (priority-ordered argmax, same tables as ``language_id``) —
+    lets a pipeline tag languages with a map-only ``withColumn`` instead
+    of a join against the ``language_id`` frame."""
+    hits = {lang: _hits(lang) for lang in LANG_PRIORITY}
+    guess = None
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        cond = None
+        for other in LANG_PRIORITY[i + 1:]:
+            c = hits[lang] >= hits[other]
+            cond = c if cond is None else (cond & c)
+        branch = (guess.when if guess is not None else F.when)
+        guess = branch(cond, F.lit(lang))
+    return guess.otherwise(F.lit(LANG_PRIORITY[-1]))
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Stopword-hit language guess over LANG_PRIORITY (deterministic
     argmax; ties break in priority order).  Generated from the tables so

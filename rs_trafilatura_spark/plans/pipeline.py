@@ -59,12 +59,15 @@ def pretraining_pipeline(
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
     datasheet: bool = False,
+    guess_language: bool = False,
     split_weights_x100: Optional[tuple] = None,
     on_stage=None,
 ) -> dict:
     """Run the composed pipeline; returns a dict with:
 
-    - ``corpus``: the final (doc_id, url, host, text, n_tokens) frame,
+    - ``corpus``: the final (doc_id, url, host, text, n_tokens) frame
+      (+ ``lang_guess`` when ``guess_language``, + ``split`` when
+      ``split_weights_x100``),
     - ``report``: [(stage, n_rows)] audit counts, in order,
     - ``stage_seconds``: {stage: wall seconds} — each report count is a
       forced materialization, so the gap between counts IS that stage's
@@ -246,6 +249,14 @@ def pretraining_pipeline(
         corpus = split_corpus(corpus, weights_x100=split_weights_x100,
                               key_col="url")
 
+    if guess_language:
+        from ..operators.textstats import language_guess_col
+
+        # map-only language tag (stopword argmax over the 10-language
+        # table) — a Column expression, NOT a join against language_id's
+        # frame, so the datasheet's by-language section costs no shuffle
+        corpus = corpus.withColumn("lang_guess", language_guess_col())
+
     def _release() -> None:
         # gate checkpoints free themselves via the ContextCleaner when
         # unreferenced; the curation cache is the one explicit handle
@@ -258,10 +269,11 @@ def pretraining_pipeline(
         from ..operators.datasheet import corpus_datasheet
 
         # the release summary a corpus version ships with (diffable
-        # between runs); host stands in for source, language is 'und'
-        # until a language-ID join is layered on
+        # between runs); host stands in for source; language comes from
+        # the guess_language pass when enabled, else records 'und'
         out["datasheet"] = corpus_datasheet(
-            corpus, source_col="host", lang_col=None)
+            corpus, source_col="host",
+            lang_col="lang_guess" if guess_language else None)
         if split_weights_x100 is not None:
             out["datasheet"] = out["datasheet"].unionByName(
                 corpus.groupBy("split").agg(

@@ -178,3 +178,28 @@ def test_split_aware_packing_never_mixes_splits(spark, tmp_path):
                        if r["split"] == s) == t_corpus
     finally:
         out["release"]()
+
+
+def test_pipeline_guess_language_datasheet(spark):
+    """guess_language=True tags the corpus with a map-only lang_guess
+    column and the release datasheet's by-language section reports the
+    guessed distribution (not 'und')."""
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+
+    pages = generate_pages_df(spark, n_rows=60)
+    out = pretraining_pipeline(
+        spark, pages, Options(), datasheet=True, guess_language=True,
+    )
+    try:
+        corpus = out["corpus"]
+        assert "lang_guess" in corpus.columns
+        langs = {r["key"]: r["value"] for r in out["datasheet"]
+                 .filter(F.col("section") == "docs_per_lang").collect()}
+        assert "und" not in langs
+        assert sum(langs.values()) == corpus.count()
+        # the synthetic corpus is dominated by English prose
+        assert max(langs, key=langs.get) == "en"
+    finally:
+        out["release"]()
