@@ -30,7 +30,16 @@ def curate_pages(
 ) -> DataFrame:
     """Return the curated corpus with a `drop_reason` column (null = kept);
     keeping rejects with reasons makes the pipeline auditable — at scale you
-    write both partitions and diff counts per reason."""
+    write both partitions and diff counts per reason.
+
+    Caching contract: the exact-dedup join-back reads the extracted frame
+    twice, so this function persists it (pending-generation cache).  The
+    cache is adopted — and later released — by the next
+    ``mark_near_duplicates`` call, or freed via ``release_cache()``.  A
+    SECOND ``curate_pages`` call releases the previous pending cache, so
+    materialize (or finish with) one call's result before starting the
+    next; an unmaterialized earlier result stays correct but recomputes
+    the extraction kernel twice."""
     # empty languages tuple means "no language filter", same as None —
     # otherwise () would match nothing and drop every row
     languages = languages or None

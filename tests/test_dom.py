@@ -158,3 +158,41 @@ def test_fast_scan_differential_fuzz():
         assert fast == slow, html
 
     check()
+
+
+def test_classed_desc_list_snapshot_and_invalidation():
+    """classed_desc_list: document-order class/id-carrying descendants,
+    cached per structural generation and rebuilt after a mutation."""
+    from rs_trafilatura_spark.dom.parser import parse_html
+
+    root = parse_html(
+        "<div><p class='a'>x</p><span>y</span><p id='b'>z</p>"
+        "<section class='c'><em>w</em></section></div>"
+    )
+    body = root
+    lst = body.classed_desc_list()
+    assert [
+        (e.tag, e.get("class") or e.get("id")) for e in lst
+    ] == [("p", "a"), ("p", "b"), ("section", "c")]
+    assert body.classed_desc_list() is lst  # cached, same snapshot
+    lst[0].drop_tree()  # structural mutation bumps the generation
+    assert [(e.tag,) for e in body.classed_desc_list()] == [
+        ("p",), ("section",)
+    ]
+
+
+def test_text_content_child_cache_reuse_is_byte_identical():
+    """A parent's text_content must be identical whether or not child
+    caches were primed first (the cache-substitution walk)."""
+    from rs_trafilatura_spark.dom.parser import parse_html
+
+    html = ("<div>pre<p>one <b>bold</b> tail1</p>mid"
+            "<section><p>two</p>inner</section>post</div>")
+    cold = parse_html(html)
+    want = cold.text_content()
+
+    warm = parse_html(html)
+    # prime every descendant deepest-first, then the parent reuses them
+    for el in reversed(warm.desc_list()):
+        el.text_content()
+    assert warm.text_content() == want
