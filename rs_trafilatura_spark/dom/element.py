@@ -60,7 +60,8 @@ class Element:
     __slots__ = ("tag", "attrib", "children", "parent", "text", "tail",
                  "_srcpos", "_desc_cache", "_desc_gen",
                  "_text_cache", "_text_gen",
-                 "_classed_cache", "_classed_gen")
+                 "_classed_cache", "_classed_gen",
+                 "_tagidx_cache", "_tagidx_gen")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None):
         self.tag = tag
@@ -77,6 +78,8 @@ class Element:
         self._text_gen: int = -1
         self._classed_cache: Optional[list] = None
         self._classed_gen: int = -1
+        self._tagidx_cache: Optional[dict] = None
+        self._tagidx_gen: int = -1
 
     # --- construction -----------------------------------------------------
     def append(self, child: "Element") -> None:
@@ -167,6 +170,38 @@ class Element:
         self._classed_cache = out
         self._classed_gen = _TREE_GEN
         return out
+
+    def tag_index(self) -> Optional[dict]:
+        """{tag: (elements, ordinals)} over the CURRENT desc_list()
+        snapshot, document order — lets tag-anchored selectors visit only
+        their tag's elements instead of the whole tree (ordinals allow
+        doc-order merges for comma unions).
+
+        Returns None when desc_list() is not already cached for this
+        generation: the first scan after a mutation stays a plain walk,
+        so mutate-select-mutate phases (doc cleaning) never pay an index
+        build they can't amortize; select-heavy stable phases (metadata
+        cascade, rule tables) build it on their second scan.  Same
+        snapshot semantics and no-mutation contract as desc_list()."""
+        if self._tagidx_gen == _TREE_GEN and self._tagidx_cache is not None:
+            return self._tagidx_cache
+        if self._desc_gen != _TREE_GEN or self._desc_cache is None:
+            return None
+        # small trees: a plain filtered scan beats the build+dict churn
+        # (measured crossover on the fixture mix, ~5 KB pages)
+        if len(self._desc_cache) < 512:
+            return None
+        idx: dict = {}
+        get = idx.get
+        for i, el in enumerate(self._desc_cache):
+            bucket = get(el.tag)
+            if bucket is None:
+                idx[el.tag] = bucket = ([], [])
+            bucket[0].append(el)
+            bucket[1].append(i)
+        self._tagidx_cache = idx
+        self._tagidx_gen = _TREE_GEN
+        return idx
 
     def ancestors(self) -> Iterator["Element"]:
         cur = self.parent

@@ -11,9 +11,13 @@ from __future__ import annotations
 
 import re
 from functools import lru_cache
+from operator import itemgetter
 from typing import Callable, Iterator, Optional
 
 from .element import Element
+
+# doc-order merge key for tag-index buckets (ordinals are unique)
+_ordinal_key = itemgetter(0)
 
 _SIMPLE_RE = re.compile(
     r"""
@@ -207,6 +211,23 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     workloads (see desc_list)."""
     tags = _tag_only(selector)
     if tags is not None:
+        idx = root.tag_index()
+        if idx is not None:
+            if len(tags) == 1:
+                bucket = idx.get(next(iter(tags)))
+                if bucket is not None:
+                    yield from bucket[0]
+                return
+            pairs: list = []
+            for t in tags:
+                bucket = idx.get(t)
+                if bucket is not None:
+                    pairs.extend(zip(bucket[1], bucket[0]))
+            # ordinals are unique, so tuple sort never compares Elements
+            pairs.sort()
+            for _, el in pairs:
+                yield el
+            return
         for el in root.desc_list():
             if el.tag in tags:
                 yield el
@@ -218,6 +239,21 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     if len(chains) == 1 and len(chains[0].steps) == 1:
         comp = chains[0].steps[0][1]
         tag, preds = comp.tag, comp.preds
+        if tag is not None:
+            # tag-anchored compound: visit only that tag's elements when
+            # the index is warm (strictly a subset of any full snapshot)
+            idx = root.tag_index()
+            if idx is not None:
+                bucket = idx.get(tag)
+                if bucket is None:
+                    return
+                for el in bucket[0]:
+                    for p in preds:
+                        if not p(el):
+                            break
+                    else:
+                        yield el
+                return
         # class/id-gated compounds can only match elements that HAVE a
         # class or id: scan that (much shorter) per-generation snapshot
         scan = (root.classed_desc_list() if comp.needs_cls_or_id
@@ -240,6 +276,22 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     # elements cost one dict probe instead of len(chains) matches() calls
     by_tag = _last_tag_dispatch(selector)
     if by_tag is not None:
+        idx = root.tag_index()
+        if idx is not None:
+            pairs: list = []
+            for t, lst in by_tag.items():
+                bucket = idx.get(t)
+                if bucket is not None:
+                    els, ords = bucket
+                    for i, el in zip(ords, els):
+                        pairs.append((i, el, lst))
+            pairs.sort(key=_ordinal_key)
+            for _, el, lst in pairs:
+                for ch in lst:
+                    if ch.matches(el):
+                        yield el
+                        break
+            return
         for el in root.desc_list():
             lst = by_tag.get(el.tag)
             if lst is not None:

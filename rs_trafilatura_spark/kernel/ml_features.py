@@ -338,8 +338,135 @@ _CARD_CLS = ("product-card", "product-tile", "product-item",
 _PRICE_CLS = ("price", "cost", "amount")
 _HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
 
+# class-attribute flag bits (bitmask memo below)
+_F_AUTHOR = 1 << 0
+_F_PRODGRID = 1 << 1
+_F_CART = 1 << 2
+_F_PRODCARD = 1 << 3
+_F_PAGINATION = 1 << 4
+_F_DOCSNAV = 1 << 5
+_F_GRID = 1 << 6
+_F_HERO = 1 << 7
+_F_TESTIMONIAL = 1 << 8
+_F_PRICING = 1 << 9
+_F_FEATURE = 1 << 10
+_F_BREADCRUMB = 1 << 11
+_F_COMMENT = 1 << 12
+_F_POST = 1 << 13
+_F_MESSAGE = 1 << 14
+_F_FILTER = 1 << 15
+_F_SORT = 1 << 16
+_F_CARD = 1 << 17
+_F_PRICE = 1 << 18
 
-def extract_ml_features(doc: Document, url: str = "") -> list[float]:
+# class strings repeat massively on template pages (every product card /
+# comment row / nav item shares one class attr), so the ~20 substring scans
+# collapse to one dict hit per repeated string.  Caches are capped, not
+# evicted: a long-lived executor on adversarial input just stops inserting
+# and falls back to recomputing — correctness never depends on a hit.
+_CLS_MASK_CACHE: dict = {}
+_SIG_KW_CACHE: dict = {}
+_CLS_CACHE_MAX = 1 << 16
+
+
+def _cls_mask(cls: str) -> int:
+    """Bitmask of the class-keyword features for one raw class string."""
+    m = 0
+    if "author" in cls:
+        m |= _F_AUTHOR
+    if "product-grid" in cls or "product-list" in cls or "product-card" in cls:
+        m |= _F_PRODGRID
+    if "add-to-cart" in cls or "addtocart" in cls or "buy-now" in cls:
+        m |= _F_CART
+    if any(k in cls for k in _PRODCARD_CLS):
+        m |= _F_PRODCARD
+    if "pagination" in cls or "pager" in cls:
+        m |= _F_PAGINATION
+    if ("docs-sidebar" in cls or "doc-sidebar" in cls
+            or "docs-nav" in cls or "table-of-contents" in cls):
+        m |= _F_DOCSNAV
+    if any(k in cls for k in _GRID_CLS):
+        m |= _F_GRID
+    if "hero" in cls:
+        m |= _F_HERO
+    if "testimonial" in cls:
+        m |= _F_TESTIMONIAL
+    if "pricing" in cls:
+        m |= _F_PRICING
+    if "feature" in cls:
+        m |= _F_FEATURE
+    if "breadcrumb" in cls:
+        m |= _F_BREADCRUMB
+    if "comment" in cls:
+        m |= _F_COMMENT
+    if "post" in cls:
+        m |= _F_POST
+    if "message" in cls:
+        m |= _F_MESSAGE
+    if ("filter-sidebar" in cls or "filter-panel" in cls
+            or "filter-bar" in cls or "filter-menu" in cls):
+        m |= _F_FILTER
+    if ("sort-select" in cls or "sort-dropdown" in cls
+            or "sort-control" in cls or "sort-option" in cls):
+        m |= _F_SORT
+    if any(k in cls for k in _CARD_CLS):
+        m |= _F_CARD
+    if any(k in cls for k in _PRICE_CLS):
+        m |= _F_PRICE
+    return m
+
+
+def _sig_kw(cls_raw: str) -> str:
+    """First _SIG_KEYWORDS hit in the lowercased class string, memoized."""
+    kw = _SIG_KW_CACHE.get(cls_raw)
+    if kw is None:
+        low = cls_raw.lower()
+        kw = next((k for k in _SIG_KEYWORDS if k in low), "")
+        if len(_SIG_KW_CACHE) < _CLS_CACHE_MAX:
+            _SIG_KW_CACHE[cls_raw] = kw
+    return kw
+
+
+# feature indices the model_only fast path leaves at 0.0 — the expensive
+# tail blocks (per-link text walks, link-text Counter, per-section ratio
+# variance, signature pass, whole-body substring/regex scans, card/price
+# ancestor walks).  Derived safety gate below: if a RETRAINED page-type
+# model ever starts splitting on one of these, _MODEL_ONLY_OK flips False
+# and classify_page silently falls back to the full 89-vector — the skip
+# list can never change classification results.
+_MODEL_SKIPPED = frozenset(
+    {44, 59, 65, 66, 67, 68, 69, 70, 73, 74, 79, 80, 84, 85, 86, 87, 88}
+)
+
+
+def _model_feature_set() -> frozenset:
+    from .page_type_model import MODEL
+
+    used = set()
+    for t in MODEL["trees"]:
+        used.update(i for i in t["feature"] if i >= 0)
+    return frozenset(used)
+
+
+_MODEL_ONLY_OK: Optional[bool] = None  # resolved lazily (avoids import cycle)
+
+
+def model_only_ok() -> bool:
+    global _MODEL_ONLY_OK
+    if _MODEL_ONLY_OK is None:
+        _MODEL_ONLY_OK = not (_model_feature_set() & _MODEL_SKIPPED)
+    return _MODEL_ONLY_OK
+
+
+def extract_ml_features(
+    doc: Document, url: str = "", model_only: bool = False
+) -> list[float]:
+    """89-feature vector; with ``model_only=True`` (classify_page's hot
+    path) the blocks whose indices no shipped tree splits on are skipped
+    and left 0.0 — classification output is bit-identical because the
+    ensemble never reads them (guarded by model_only_ok() + pytest)."""
+    if model_only and not model_only_ok():
+        model_only = False
     f = [0.0] * N_FEATURES
     url_lower = (url or "").lower()
     try:
@@ -405,19 +532,22 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
         elif tag in _HEADING_TAGS:
             headings.append(el)
         elif tag == "a":
-            # text_content cached here: CTA, dedup counts, and the
-            # repeated-link-text features all reuse it (one subtree walk
-            # per link instead of three)
-            a_text = el.text_content()
             links.append(el)
-            link_texts.append(a_text)
-            if any(m in a_text.lower() for m in _CTA_MARKERS):
-                cta += 1
+            if not model_only:
+                # text_content cached here: CTA, dedup counts, and the
+                # repeated-link-text features all reuse it (one subtree
+                # walk per link instead of three); f[44]/f[69]/f[79]/f[80]
+                # are skipped indices, so model_only never needs the text
+                a_text = el.text_content()
+                link_texts.append(a_text)
+                if any(m in a_text.lower() for m in _CTA_MARKERS):
+                    cta += 1
         elif tag == "button":
             buttons += 1
-            t = el.text_content().lower()
-            if any(m in t for m in _CTA_MARKERS):
-                cta += 1
+            if not model_only:
+                t = el.text_content().lower()
+                if any(m in t for m in _CTA_MARKERS):
+                    cta += 1
         elif tag in ("code", "pre"):
             n_code_pre += 1
         elif tag == "form":
@@ -485,49 +615,51 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
             sections.append(el)
 
         if cls:
-            if "author" in cls:
-                has_author = True
-            if ("product-grid" in cls or "product-list" in cls
-                    or "product-card" in cls):
-                has_prodgrid = True
-            if "add-to-cart" in cls or "addtocart" in cls or "buy-now" in cls:
-                has_cart = True
-            if any(k in cls for k in _PRODCARD_CLS):
-                n_prodcard += 1
-            if "pagination" in cls or "pager" in cls:
-                has_pagination = True
-            if ("docs-sidebar" in cls or "doc-sidebar" in cls
-                    or "docs-nav" in cls or "table-of-contents" in cls):
-                has_docsnav = True
-            if any(k in cls for k in _GRID_CLS):
-                n_grid_cls += 1
-            if "hero" in cls:
-                has_hero = True
-            if "testimonial" in cls:
-                has_testimonial = True
-            if "pricing" in cls:
-                has_pricing = True
-            if "feature" in cls:
-                has_feature = True
-            if "breadcrumb" in cls:
-                has_breadcrumb = True
-            if "comment" in cls:
-                n_comment_cls += 1
-            if "post" in cls:
-                n_post_cls += 1
-            if "message" in cls:
-                n_message_cls += 1
-            if ("filter-sidebar" in cls or "filter-panel" in cls
-                    or "filter-bar" in cls or "filter-menu" in cls):
-                has_filter = True
-            if ("sort-select" in cls or "sort-dropdown" in cls
-                    or "sort-control" in cls or "sort-option" in cls):
-                has_sort = True
-            if any(k in cls for k in _CARD_CLS):
-                cards.append(el)
-                card_set.add(id(el))
-            if any(k in cls for k in _PRICE_CLS):
-                price_els.append(el)
+            m = _CLS_MASK_CACHE.get(cls)
+            if m is None:
+                m = _cls_mask(cls)
+                if len(_CLS_MASK_CACHE) < _CLS_CACHE_MAX:
+                    _CLS_MASK_CACHE[cls] = m
+            if m:
+                if m & _F_AUTHOR:
+                    has_author = True
+                if m & _F_PRODGRID:
+                    has_prodgrid = True
+                if m & _F_CART:
+                    has_cart = True
+                if m & _F_PRODCARD:
+                    n_prodcard += 1
+                if m & _F_PAGINATION:
+                    has_pagination = True
+                if m & _F_DOCSNAV:
+                    has_docsnav = True
+                if m & _F_GRID:
+                    n_grid_cls += 1
+                if m & _F_HERO:
+                    has_hero = True
+                if m & _F_TESTIMONIAL:
+                    has_testimonial = True
+                if m & _F_PRICING:
+                    has_pricing = True
+                if m & _F_FEATURE:
+                    has_feature = True
+                if m & _F_BREADCRUMB:
+                    has_breadcrumb = True
+                if m & _F_COMMENT:
+                    n_comment_cls += 1
+                if m & _F_POST:
+                    n_post_cls += 1
+                if m & _F_MESSAGE:
+                    n_message_cls += 1
+                if m & _F_FILTER:
+                    has_filter = True
+                if m & _F_SORT:
+                    has_sort = True
+                if m & _F_CARD:
+                    cards.append(el)
+                    card_set.add(id(el))
+                if m & _F_PRICE:
+                    price_els.append(el)
 
     # ---- features from the collected pass ------------------------------------
     p_texts = [p.text_content() for p in ps]
@@ -578,7 +710,8 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[56] = float(buttons)
     f[57] = float(n_input)
     f[58] = float(body_len)
-    f[59] = float(len({a.get("href") for a in links if a.get("href")}))
+    if not model_only:
+        f[59] = float(len({a.get("href") for a in links if a.get("href")}))
     f[60] = float(n_comment_cls)
     f[61] = float(n_post_cls)
     f[62] = float(n_message_cls)
@@ -599,66 +732,69 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
     f[63] = float(max_repeated)
     f[64] = float(parents_with_repeats)
 
-    f[65] = float(body_text.count("$") + body_text.count("€") + body_text.count("£"))
-    f[66] = f[51] / (body_len / 1000.0) if body_len else 0.0
-
-    level_counts = Counter(h.tag for h in headings)
-    if level_counts:
-        f[67] = max(level_counts.values()) / len(level_counts)
     body_lower = body_text.lower()
-    f[68] = 1.0 if "breadcrumblist" in body_lower else 0.0
+    if not model_only:
+        f[65] = float(
+            body_text.count("$") + body_text.count("€") + body_text.count("£")
+        )
+        f[66] = f[51] / (body_len / 1000.0) if body_len else 0.0
 
-    link_text_counts = Counter(
-        s.lower() for s in (t.strip() for t in link_texts) if len(s) > 3
-    )
-    f[69] = float(sum(1 for c in link_text_counts.values() if c >= 3))
+        level_counts = Counter(h.tag for h in headings)
+        if level_counts:
+            f[67] = max(level_counts.values()) / len(level_counts)
+        f[68] = 1.0 if "breadcrumblist" in body_lower else 0.0
 
-    # per-section descendant-<a> counts via one ancestor walk per link
-    # (equivalent to len(select(el, "a")) per section, without re-scanning)
-    a_counts: dict[int, int] = {}
-    for a in links:
-        anc = a.parent
-        while anc is not None:
-            if anc.tag in ("section", "article", "div"):
-                a_counts[id(anc)] = a_counts.get(id(anc), 0) + 1
-            anc = anc.parent
-    # prime text_content caches deepest-first (sections is in pre-order,
-    # so reversed() visits children before parents and every parent walk
-    # reuses its child sections' cached strings — O(n) total instead of
-    # O(n*depth)); the ratios list itself is built in the ORIGINAL order
-    # so f[70]'s float summation order (and thus its exact value) is
-    # unchanged
-    sec_len: dict[int, int] = {}
-    for el in reversed(sections):
-        sec_len[id(el)] = len(el.text_content().strip())
-    ratios = []
-    for el in sections:
-        text_len = sec_len[id(el)]
-        if text_len > 50:
-            ratios.append(a_counts.get(id(el), 0) / text_len * 1000.0)
-    if len(ratios) >= 3:
-        mean = sum(ratios) / len(ratios)
-        f[70] = sum((r - mean) ** 2 for r in ratios) / len(ratios)
+        link_text_counts = Counter(
+            s.lower() for s in (t.strip() for t in link_texts) if len(s) > 3
+        )
+        f[69] = float(sum(1 for c in link_text_counts.values() if c >= 3))
+
+        # per-section descendant-<a> counts via one ancestor walk per link
+        # (equivalent to len(select(el, "a")) per section, without re-scanning)
+        a_counts: dict[int, int] = {}
+        for a in links:
+            anc = a.parent
+            while anc is not None:
+                if anc.tag in ("section", "article", "div"):
+                    a_counts[id(anc)] = a_counts.get(id(anc), 0) + 1
+                anc = anc.parent
+        # prime text_content caches deepest-first (sections is in pre-order,
+        # so reversed() visits children before parents and every parent walk
+        # reuses its child sections' cached strings — O(n) total instead of
+        # O(n*depth)); the ratios list itself is built in the ORIGINAL order
+        # so f[70]'s float summation order (and thus its exact value) is
+        # unchanged
+        sec_len: dict[int, int] = {}
+        for el in reversed(sections):
+            sec_len[id(el)] = len(el.text_content().strip())
+        ratios = []
+        for el in sections:
+            text_len = sec_len[id(el)]
+            if text_len > 50:
+                ratios.append(a_counts.get(id(el), 0) / text_len * 1000.0)
+        if len(ratios) >= 3:
+            mean = sum(ratios) / len(ratios)
+            f[70] = sum((r - mean) ** 2 for r in ratios) / len(ratios)
 
     f[71] = 1.0 if has_noindex else 0.0
     f[72] = float(len([s for s in path.strip("/").split("/") if s]))
 
-    sig_max, sig_parents = 0, 0
-    for el in _shallow_containers(body):
-        if len(el.children) < 3:
-            continue
-        sigs = Counter()
-        for c in el.children:
-            cls = c.get("class").lower()
-            kw = next((k for k in _SIG_KEYWORDS if k in cls), "")
-            sigs[f"{c.tag}|{kw}" if kw else c.tag] += 1
-        if sigs:
-            top = max(sigs.values())
-            if top >= 3:
-                sig_parents += 1
-                sig_max = max(sig_max, top)
-    f[73] = float(sig_max)
-    f[74] = float(sig_parents)
+    if not model_only:
+        sig_max, sig_parents = 0, 0
+        for el in _shallow_containers(body):
+            if len(el.children) < 3:
+                continue
+            sigs = Counter()
+            for c in el.children:
+                kw = _sig_kw(c.get("class"))
+                sigs[f"{c.tag}|{kw}" if kw else c.tag] += 1
+            if sigs:
+                top = max(sigs.values())
+                if top >= 3:
+                    sig_parents += 1
+                    sig_max = max(sig_max, top)
+        f[73] = float(sig_max)
+        f[74] = float(sig_parents)
 
     words = body_lower.split()
     total_words = len(words)
@@ -673,12 +809,14 @@ def extract_ml_features(doc: Document, url: str = "") -> list[float]:
         f[77] = sum(wc.get(w, 0) for w in _TECH_W) / total_words
         f[78] = sum(wc.get(w, 0) for w in _FORUM_W) / total_words
 
-    f[79] = float(max(link_text_counts.values(), default=0))
-    f[80] = f[69]
-
     f[81] = 1.0 if has_prodgroup else 0.0
     f[82] = 1.0 if has_filter else 0.0
     f[83] = 1.0 if has_sort else 0.0
+    if model_only:
+        return f
+
+    f[79] = float(max(link_text_counts.values(), default=0))
+    f[80] = f[69]
     f[84] = 1.0 if (("showing" in body_lower or "results" in body_lower
                     or "items" in body_lower or "products" in body_lower)
                    and _PRODUCT_COUNT_RE.search(body_lower)) else 0.0

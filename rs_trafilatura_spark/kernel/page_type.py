@@ -202,7 +202,12 @@ def classify_page(doc: Document, url: Optional[str]) -> tuple[str, float]:
 
     url_type = classify_url(url) if url else None
     refined, _heur_conf = refine_with_html_signals(doc, url_type)
-    ml_type, ml_conf = classify_ml(extract_ml_features(doc, url or ""))
+    # model_only skips feature blocks no shipped tree splits on — the
+    # classification result is bit-identical (ml_features.model_only_ok
+    # guards against a retrained model reading a skipped index)
+    ml_type, ml_conf = classify_ml(
+        extract_ml_features(doc, url or "", model_only=True)
+    )
     if url_type is not None and url_type != ARTICLE and ml_type == url_type:
         return url_type, 1.0
     if refined != ARTICLE and ml_type == refined:
