@@ -196,3 +196,51 @@ def test_text_content_child_cache_reuse_is_byte_identical():
     for el in reversed(warm.desc_list()):
         el.text_content()
     assert warm.text_content() == want
+
+
+def test_tag_index_order_parity_and_invalidation():
+    """tag_index-backed selects yield the same elements in the same
+    document order as a plain snapshot scan, across single tags, comma
+    unions, tag-anchored compounds, and last-tag-dispatch unions; the
+    index invalidates on mutation and never builds before a desc_list
+    snapshot exists."""
+    from rs_trafilatura_spark.dom.parser import parse_html
+    from rs_trafilatura_spark.dom.select import select
+
+    body = "".join(
+        f"<section class='s{i}'><p class='x'>p{i}</p><span>t{i}</span>"
+        f"<td>c{i}</td><th>h{i}</th></section>"
+        for i in range(200)  # > the 512-descendant index threshold
+    )
+    root = parse_html(f"<div>{body}</div>")
+
+    # cold root: no snapshot yet -> no index, plain scan path
+    assert root.tag_index() is None
+    plain_p = select(root, "p")          # first scan: builds desc_list
+    assert root.tag_index() is not None  # warm: index now available
+
+    for sel in ("p", "td, th", "p.x", "section[class*='s1'], span",
+                "p, section"):
+        via_index = select(root, sel)
+        # force the plain path on an identical fresh tree
+        fresh = parse_html(f"<div>{body}</div>")
+        plain = select(fresh, sel)
+        assert [id(e) for e in via_index] != []  # non-trivial
+        assert [(e.tag, e.get("class")) for e in via_index] == \
+            [(e.tag, e.get("class")) for e in plain], sel
+        # document order: strictly increasing positions in desc_list
+        pos = {id(e): i for i, e in enumerate(root.desc_list())}
+        ords = [pos[id(e)] for e in via_index]
+        assert ords == sorted(ords), sel
+
+    # mutation bumps the generation: index rebuilt, dropped node gone
+    plain_p[0].drop_tree()
+    root.desc_list()
+    idx = root.tag_index()
+    assert idx is not None and len(idx["p"][0]) == 199
+
+    # small trees never index (plain scan wins below the threshold)
+    small = parse_html("<div><p>a</p><p>b</p></div>")
+    small.desc_list()
+    assert small.tag_index() is None
+    assert [e.text for e in select(small, "p")] == ["a", "b"]

@@ -41,3 +41,28 @@ def test_fast_equals_slow_on_adversarial_html():
         doc = Document(html)
         assert extract_ml_features(doc, "https://x.example/docs/a") == \
             _extract_ml_features_slow(doc, "https://x.example/docs/a")
+
+
+def test_model_only_path_is_classification_identical():
+    """model_only skips only feature indices no shipped tree splits on:
+    every index the ensemble reads is equal to the full vector, and
+    classify_ml returns the identical (type, confidence) pair."""
+    from rs_trafilatura_spark.kernel.ml_features import (
+        _MODEL_SKIPPED,
+        _model_feature_set,
+        model_only_ok,
+    )
+    from rs_trafilatura_spark.kernel.page_type import classify_ml
+
+    used = _model_feature_set()
+    assert not (used & _MODEL_SKIPPED)  # skip list disjoint from model
+    assert model_only_ok()
+
+    for i in range(120):
+        row = generate_row(i, seed=777)
+        doc = Document(row["html"].decode("utf-8", errors="replace"))
+        full = extract_ml_features(doc, row["url"])
+        fast = extract_ml_features(doc, row["url"], model_only=True)
+        for j in used:
+            assert full[j] == fast[j], (i, j)
+        assert classify_ml(full) == classify_ml(fast), i
