@@ -28,6 +28,16 @@ from html.parser import (  # noqa: E402
     tagfind_tolerant as _tagfind,
 )
 
+import re  # noqa: E402
+
+# stdlib endtagfind minus the leading \s* (a space between '</' and the name
+# falls back to the stdlib method).  When this matches at i with
+# cdata_elem None, the stdlib parse_endtag would do the exact same thing:
+# the matched span contains no '>', so endendtag.search's first '>' IS this
+# match's '>', endtagfind matches the same span, and clear_cdata_mode() is
+# a no-op outside cdata mode.
+_ENDTAG_SIMPLE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
 # Block-level tags whose start implicitly closes an open <p> (HTML5 spec set)
 _P_CLOSERS = frozenset(
     {
@@ -209,6 +219,20 @@ class _TreeBuilder(HTMLParser):
                               selfclosing=endpos == j + 2)
         return endpos
 
+    def parse_endtag(self, i: int) -> int:
+        """Fused fast path for plain ``</tag>`` ends: one anchored match,
+        no endendtag pre-search, no redundant lower() on already-lower
+        names.  Equivalent to the stdlib method for every input it
+        accepts (see _ENDTAG_SIMPLE's note); everything else — cdata
+        close tags, ``</ tag>``, bogus comments — defers to stdlib."""
+        if self.cdata_elem is None:
+            m = _ENDTAG_SIMPLE.match(self.rawdata, i)
+            if m:
+                tag = m.group(1)
+                self._finish_endtag(tag if tag.islower() else tag.lower())
+                return m.end()
+        return HTMLParser.parse_endtag(self, i)
+
     # -- implicit close rules ---------------------------------------------------
     def _implicit_close(self, tag: str) -> None:
         while len(self.stack) > 1:
@@ -277,16 +301,29 @@ class _TreeBuilder(HTMLParser):
         self.stack[-1].append(el)
 
     def handle_endtag(self, tag: str) -> None:
-        tag = tag.lower()
+        self._finish_endtag(tag if tag.islower() else tag.lower())
+
+    def _finish_endtag(self, tag: str) -> None:
+        """handle_endtag with the name already lowercased; the top-of-
+        stack match (the overwhelmingly common well-nested case) skips
+        the backward scan."""
         if tag in VOID_TAGS:
             return
+        stack = self.stack
+        el = stack[-1]
+        if el.tag == tag and len(stack) > 1:
+            end = self._srcoffset()
+            if end >= 0 and el._srcpos is not None:
+                el._srcpos = (el._srcpos[0], end)
+            stack.pop()
+            return
         # find the matching open element; ignore stray end tags
-        for i in range(len(self.stack) - 1, 0, -1):
-            if self.stack[i].tag == tag:
+        for i in range(len(stack) - 2, 0, -1):
+            if stack[i].tag == tag:
                 end = self._srcoffset()
-                if end >= 0 and self.stack[i]._srcpos is not None:
-                    self.stack[i]._srcpos = (self.stack[i]._srcpos[0], end)
-                del self.stack[i:]
+                if end >= 0 and stack[i]._srcpos is not None:
+                    stack[i]._srcpos = (stack[i]._srcpos[0], end)
+                del stack[i:]
                 return
 
     def handle_data(self, data: str) -> None:

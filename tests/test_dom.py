@@ -160,6 +160,53 @@ def test_fast_scan_differential_fuzz():
     check()
 
 
+def test_endtag_fast_path_differential():
+    """The fused parse_endtag fast path (plain </tag>, not in cdata mode)
+    must be tree-identical to the stdlib method it shortcuts.  Forcing
+    the fallback by blanking the fast-path regex and comparing trees
+    pins the equivalence on adversarial end-tag soup: spaced names,
+    attributes in end tags, bogus comments, cdata close tags, stray and
+    case-varied ends, unterminated ends at EOF."""
+    import re
+
+    import rs_trafilatura_spark.dom.parser as P
+
+    def tree_repr(el):
+        out = [(el.tag, tuple(sorted(el.attrib.items())), el.text, el.tail,
+                el._srcpos)]
+        for c in el.children:
+            out.extend(tree_repr(c))
+        return out
+
+    cases = [
+        "<div><p>a</p></div>",
+        "<div><p>a</P ></DIV>",
+        "<p>a</ p><b>x</b>",               # space after </ -> bogus comment
+        "<p>a</p attr='x'>",               # attrs in end tag
+        "<p>a</>",                          # </> dropped
+        "<p>a</p",                          # unterminated at EOF
+        "<script>var a = '</scr' + 'ipt>';</script><p>t</p>",
+        "<script>x</script foo>",          # cdata close with junk
+        "<style>a{}</style><p>s</p>",
+        "<ul><li>a<li>b</li></ul>",
+        "<p>a</q></p>",                     # stray end
+        "<p>a</p-></p>",                    # invalid name char
+        "<p>a</é>",                    # non-ascii end name
+        "<td>x</td></tr></table>",
+        "<p>one</p>two<p>three</p >tail",
+    ]
+    never = re.compile(r"(?!x)x")
+    for html in cases:
+        fast = tree_repr(P.parse_html(html))
+        orig = P._ENDTAG_SIMPLE
+        P._ENDTAG_SIMPLE = never
+        try:
+            slow = tree_repr(P.parse_html(html))
+        finally:
+            P._ENDTAG_SIMPLE = orig
+        assert fast == slow, html
+
+
 def test_classed_desc_list_snapshot_and_invalidation():
     """classed_desc_list: document-order class/id-carrying descendants,
     cached per structural generation and rebuilt after a mutation."""
