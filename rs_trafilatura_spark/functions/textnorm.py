@@ -43,16 +43,30 @@ def normalize_text_output(text: str) -> str:
     then impossible except at the string edges (strip handles those), so
     the old LINE_WHITESPACE pass is provably a no-op and is dropped."""
     s = text.replace("\r", "")
-    if "\t" in s or "  " in s:
-        s = _WS_RUN.sub(" ", s)        # tabs/space runs -> one pending space
+    # _WS_RUN ("[ \t]*\t[ \t]*| {2,}" -> " ") re-expressed as two C-speed
+    # replace passes: mapping every tab to a space turns any [ \t]-run
+    # that contained a tab into an all-space run of the same length >= 1,
+    # and the fixpoint of replace("  ", " ") maps every space run to one
+    # space — the composition sends exactly the runs the regex matched to
+    # " " and leaves lone spaces alone, byte-identically (property-tested
+    # against the char-by-char reference machine below).  A run of n
+    # spaces halves per pass, so prose converges in 1-2 passes where the
+    # regex probes every inter-word space as a candidate match.
+    if "\t" in s:
+        s = s.replace("\t", " ")
+    while "  " in s:
+        s = s.replace("  ", " ")
     s = (
         s.replace(" \n", "\n")         # pending space deleted by newline
         .replace(" .", ".").replace(" ,", ",").replace(" ;", ";")
         .replace(" :", ":").replace(" !", "!").replace(" ?", "?")
         .replace("\n ", "\n")          # pending space not emitted at line start
     )
-    if "\n\n\n" in s:
-        s = MULTIPLE_NEWLINES.sub("\n\n", s)
+    # \n{3,} -> \n\n as a fixpoint of one C scan per pass: a run of n
+    # newlines shrinks by floor(n/3) per pass, so real pages converge in
+    # one or two; gated so match-free text pays a single memmem scan
+    while "\n\n\n" in s:
+        s = s.replace("\n\n\n", "\n\n")
     return s.strip()
 
 
