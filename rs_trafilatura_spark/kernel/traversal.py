@@ -44,6 +44,40 @@ _PRECISION_TAGS = frozenset(
     {"div", "dd", "dt", "li", "ul", "ol", "dl", "p", "section", "span"}
 )
 
+# One dict probe instead of ~8 membership tests per visited element: each
+# tag the text emitter special-cases gets a flag bit; the (majority) tags
+# with no special handling take the flags==0 fast path straight to
+# text/children.  Built from the SAME sets the checks used, so the two
+# can't drift.
+_VF_TABLE = 1            # tag == "table"
+_VF_LDTEST = 2           # tag in ("div", "ul", "ol") link-density test
+_VF_HEADING = 4          # tag in HEADING_TAGS
+_VF_P = 8                # tag == "p" share-button probe
+_VF_DIV = 16             # tag == "div" share-button probe
+_VF_BLOCKSEP = 32        # tag in BLOCK_SEPARATOR_TAGS
+_VF_NL = 64              # tag in ("br", "li")
+_VF_AM = 128             # tag in ("article", "main")
+_VF_RAW = 256            # tag in _RAW_TEXT_TAGS
+
+_VISIT_FLAGS: dict = {}
+for _t in (
+    {"table"} | {"div", "ul", "ol"} | set(HEADING_TAGS) | {"p"}
+    | set(BLOCK_SEPARATOR_TAGS) | {"br", "li"} | {"article", "main"}
+    | set(_RAW_TEXT_TAGS)
+):
+    _VISIT_FLAGS[_t] = (
+        (_VF_TABLE if _t == "table" else 0)
+        | (_VF_LDTEST if _t in ("div", "ul", "ol") else 0)
+        | (_VF_HEADING if _t in HEADING_TAGS else 0)
+        | (_VF_P if _t == "p" else 0)
+        | (_VF_DIV if _t == "div" else 0)
+        | (_VF_BLOCKSEP if _t in BLOCK_SEPARATOR_TAGS else 0)
+        | (_VF_NL if _t in ("br", "li") else 0)
+        | (_VF_AM if _t in ("article", "main") else 0)
+        | (_VF_RAW if _t in _RAW_TEXT_TAGS else 0)
+    )
+del _t
+
 
 def _element_excluded(
     el: Element,
@@ -180,60 +214,64 @@ def extract_filtered_text(
                              comments_are_content, opts):
             return
 
-        if tag == "table":
-            if link_density_test_tables(el, has_links=id(el) in link_ids):
-                return
-            if not opts.include_tables:
-                return
-            if not is_layout_table(el):
-                table_text = extract_table_text(el)
-                if table_text:
-                    out.append("\n\n")
-                    out.append(table_text)
-                    out.append("\n\n")
-                    if el._srcpos is not None:
-                        spans.append((el._srcpos[0], max(el._srcpos[1], el._srcpos[0]), "table"))
-                return
-            # layout table: fall through, traverse children normally
+        flags = _VISIT_FLAGS.get(tag, 0)
+        if flags:
+            if flags & _VF_TABLE:
+                if link_density_test_tables(el, has_links=id(el) in link_ids):
+                    return
+                if not opts.include_tables:
+                    return
+                if not is_layout_table(el):
+                    table_text = extract_table_text(el)
+                    if table_text:
+                        out.append("\n\n")
+                        out.append(table_text)
+                        out.append("\n\n")
+                        if el._srcpos is not None:
+                            spans.append((el._srcpos[0], max(el._srcpos[1], el._srcpos[0]), "table"))
+                    return
+                # layout table: fall through, traverse children normally
 
-        if tag in ("div", "ul", "ol") and link_density_test(
-            el, opts.favor_precision, has_links=id(el) in link_ids
-        ):
-            return
-
-        is_heading = tag in HEADING_TAGS
-        if is_heading:
-            heading_text = el.iter_text_joined(" ").strip()
-            if is_share_button_text(heading_text):
-                return
-            cls_low = el.get("class").lower()
-            if any(m in cls_low for m in _HEADING_TITLE_CLASSES):
-                return
-            if el.get("itemprop").lower() == "headline":
-                return
-            if tag == "h1" and page_title and titles_match(heading_text, page_title):
+            if flags & _VF_LDTEST and link_density_test(
+                el, opts.favor_precision, has_links=id(el) in link_ids
+            ):
                 return
 
-        if tag == "p":
-            p_text = _text_if_shorter(el, 50)
-            if p_text is not None and is_share_button_text(p_text):
-                return
-        elif tag == "div":
-            div_text = _text_if_shorter(el, 80)
-            if div_text is not None and is_share_button_text(div_text):
-                return
+            if flags & _VF_HEADING:
+                heading_text = el.iter_text_joined(" ").strip()
+                if is_share_button_text(heading_text):
+                    return
+                cls_low = el.get("class").lower()
+                if any(m in cls_low for m in _HEADING_TITLE_CLASSES):
+                    return
+                if el.get("itemprop").lower() == "headline":
+                    return
+                if tag == "h1" and page_title and titles_match(heading_text, page_title):
+                    return
 
-        if tag in BLOCK_SEPARATOR_TAGS or is_heading:
-            out.append("\n\n")
-        elif tag in ("br", "li"):
-            out.append("\n")
+            if flags & _VF_P:
+                p_text = _text_if_shorter(el, 50)
+                if p_text is not None and is_share_button_text(p_text):
+                    return
+            elif flags & _VF_DIV:
+                div_text = _text_if_shorter(el, 80)
+                if div_text is not None and is_share_button_text(div_text):
+                    return
 
-        next_inside = inside_am or tag in ("article", "main")
+            if flags & (_VF_BLOCKSEP | _VF_HEADING):
+                out.append("\n\n")
+            elif flags & _VF_NL:
+                out.append("\n")
 
-        if el.text and tag not in _RAW_TEXT_TAGS:
+            if flags & _VF_AM:
+                inside_am = True
+
+            if el.text and not flags & _VF_RAW:
+                emit_text(el, el.text)
+        elif el.text:
             emit_text(el, el.text)
         for child in el.children:
-            visit(child, next_inside)
+            visit(child, inside_am)
             if child.tail:
                 # tail belongs to this element's level; emitted regardless of
                 # whether the child subtree was skipped
@@ -285,42 +323,49 @@ def extract_filtered_html(
                              comments_are_content, opts):
             return
         tag = el.tag
-        if tag == "table" and (
-            link_density_test_tables(el, has_links=id(el) in link_ids)
-            or not opts.include_tables
-        ):
-            return
-        if tag in ("div", "ul", "ol") and link_density_test(
-            el, opts.favor_precision, has_links=id(el) in link_ids
-        ):
-            return
+        # same flag bits as the text emitter (the table/link-density/
+        # article-main/raw-text sets are shared); whitelist and kept-attr
+        # membership stay direct probes
+        flags = _VISIT_FLAGS.get(tag, 0)
+        if flags:
+            if flags & _VF_TABLE and (
+                link_density_test_tables(el, has_links=id(el) in link_ids)
+                or not opts.include_tables
+            ):
+                return
+            if flags & _VF_LDTEST and link_density_test(
+                el, opts.favor_precision, has_links=id(el) in link_ids
+            ):
+                return
+            if flags & _VF_AM:
+                inside_am = True
         keep = tag in _HTML_WHITELIST
-        if keep:
-            attrs = ""
-            # include_links=False keeps the <a> TAG but drops href — the
-            # reference's attribute whitelist gates href on the option, it
-            # never unwraps the element (html_output_test.rs expects
-            # '<a>link</a>' without href)
-            for k in _KEPT_ATTRS.get(tag, ()):
-                if tag == "a" and k == "href" and not opts.include_links:
-                    continue
-                v = el.get(k)
-                if v:
-                    attrs += f' {k}="{escape_attr(v)}"'
         if keep:
             if tag == "br":
                 out.append("<br/>")
-            else:
+            elif tag in _KEPT_ATTRS:
+                attrs = ""
+                # include_links=False keeps the <a> TAG but drops href —
+                # the reference's attribute whitelist gates href on the
+                # option, it never unwraps the element (html_output_test.rs
+                # expects '<a>link</a>' without href)
+                for k in _KEPT_ATTRS[tag]:
+                    if tag == "a" and k == "href" and not opts.include_links:
+                        continue
+                    v = el.get(k)
+                    if v:
+                        attrs += f' {k}="{escape_attr(v)}"'
                 out.append(f"<{tag}{attrs}>")
-        if el.text and tag not in _RAW_TEXT_TAGS:
+            else:
+                out.append("<" + tag + ">")
+        if el.text and not flags & _VF_RAW:
             out.append(escape_text(el.text))
-        next_inside = inside_am or tag in ("article", "main")
         for child in el.children:
-            visit(child, next_inside)
+            visit(child, inside_am)
             if child.tail:
                 out.append(escape_text(child.tail))
         if keep and tag != "br":
-            out.append(f"</{tag}>")
+            out.append("</" + tag + ">")
 
     root_inside = root.tag in ("article", "main")
     if root.text and root.tag not in _RAW_TEXT_TAGS:
