@@ -53,6 +53,16 @@ def escape_attr(s: str) -> str:
 _TREE_GEN = 0
 
 
+def bump_generation() -> None:
+    """Invalidate every per-generation cache once.  The parser uses this
+    to batch its ~1 bump/element build phase into a single bump after the
+    tree is complete — no cache can exist mid-build (nothing traverses a
+    tree that is still on the builder's stack), so only the final state
+    matters."""
+    global _TREE_GEN
+    _TREE_GEN += 1
+
+
 class Element:
     """One DOM element. ``text`` precedes the first child; each child's
     ``tail`` follows that child's closing tag (lxml semantics)."""

@@ -14,7 +14,7 @@ from html import unescape
 from html.parser import HTMLParser
 from typing import Optional
 
-from .element import Element, VOID_TAGS
+from .element import Element, VOID_TAGS, bump_generation
 
 # A/B escape hatch for the fast scanner below; semantics are identical by
 # construction (same parse_* methods), so this exists only for debugging.
@@ -37,6 +37,12 @@ import re  # noqa: E402
 # match's '>', endtagfind matches the same span, and clear_cdata_mode() is
 # a no-op outside cdata mode.
 _ENDTAG_SIMPLE = re.compile(r"</([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+
+# attribute-less start tag '<name>' (ASCII name only; hyphenated/namespaced
+# names take the general path).  When this matches, locatestarttagend ends
+# exactly at the '>', tagfind yields the same name, and the attr loop is a
+# no-op — so deferring to the fused general path would do identical work.
+_STARTTAG_BARE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)>")
 
 # Block-level tags whose start implicitly closes an open <p> (HTML5 spec set)
 _P_CLOSERS = frozenset(
@@ -176,6 +182,12 @@ class _TreeBuilder(HTMLParser):
         oddities — defers to the stdlib method, whose semantics this
         mirrors line for line (CPython 3.11 parser.py:300-340)."""
         rawdata = self.rawdata
+        bm = _STARTTAG_BARE.match(rawdata, i)
+        if bm:
+            tag = bm.group(1)
+            self._finish_starttag(tag if tag.islower() else tag.lower(),
+                                  {}, i, selfclosing=False)
+            return bm.end()
         m = _locatestarttagend.match(rawdata, i)
         j = m.end()
         nxt = rawdata[j:j + 1]
@@ -264,7 +276,12 @@ class _TreeBuilder(HTMLParser):
         el = Element(tag, attrib)
         if off >= 0:
             el._srcpos = (off, off)
-        self.stack[-1].append(el)
+        # direct linkage: Element.append bumps the global cache generation
+        # per call; during the build phase one bump at the end of
+        # parse_html is equivalent (see element.bump_generation)
+        parent = self.stack[-1]
+        el.parent = parent
+        parent.children.append(el)
         if not selfclosing:
             if tag not in VOID_TAGS:
                 self.stack.append(el)
@@ -283,7 +300,9 @@ class _TreeBuilder(HTMLParser):
         off = self._srcoffset()
         if off >= 0:
             el._srcpos = (off, off)
-        self.stack[-1].append(el)
+        parent = self.stack[-1]
+        el.parent = parent
+        parent.children.append(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
@@ -298,7 +317,9 @@ class _TreeBuilder(HTMLParser):
         off = self._srcoffset()
         if off >= 0:
             el._srcpos = (off, off)
-        self.stack[-1].append(el)
+        parent = self.stack[-1]
+        el.parent = parent
+        parent.children.append(el)
 
     def handle_endtag(self, tag: str) -> None:
         self._finish_endtag(tag if tag.islower() else tag.lower())
@@ -349,4 +370,8 @@ def parse_html(html: str) -> Element:
         # was built so far (reference degrades errors to warnings,
         # extract.rs:161-169)
         pass
+    finally:
+        # the builder links children directly (no per-append bump); one
+        # bump here invalidates any caches from a previously parsed tree
+        bump_generation()
     return builder.root
