@@ -1395,13 +1395,26 @@ def q_knn_join_lsh(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs over the corpus + one scale-twin per
-    vector: every (v, 2v) pair sits at cosine ~1.0 and provably shares v's
-    LSH bucket, while the natural pair maximum (~0.37) is far below the 0.9
-    threshold — so the exact all-pairs oracle must return exactly the twin
-    pairs, and LSH recall is 1.0 by construction."""
+    """Embedding near-dup family, two methods in one row set:
+
+    method='pairs' — LSH-candidate near-dup pairs over the corpus + one
+    scale-twin per vector: every (v, 2v) pair sits at cosine ~1.0 and
+    provably shares v's LSH bucket, while the natural pair maximum
+    (~0.37) is far below the 0.9 threshold — so the exact all-pairs
+    oracle must return exactly the twin pairs, and LSH recall is 1.0 by
+    construction.
+
+    method='semdedup' — SemDeDup (Abbas et al. 2023) keep/drop verdicts
+    over the corpus + x2 twins for vec_id%3==0 and x4 twins for
+    vec_id%6==0.  Scale twins share their original's k-means cell
+    (cosine argmax is scale-invariant, exactly in floats) and tie on
+    cent_x1000, so the within-cluster triu greedy reduces to vec_id
+    order inside each twin group — the all-pairs oracle (partner count +
+    "exists a smaller-id partner") is provably the same computation, no
+    centroids needed in SQL."""
     from rs_trafilatura_spark.operators.similarity import (
         embedding_near_dup_pairs,
+        semdedup,
     )
 
     embs = (_embs(spark, sf_dir)
@@ -1411,8 +1424,35 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.col("vec_id") + 10000).alias("vec_id"),
         _twin(F.col("embedding"), 1).alias("embedding"),
     )
-    return embedding_near_dup_pairs(embs.unionByName(twins),
-                                    cos_threshold_x1000=900, dim=64)
+    pairs = embedding_near_dup_pairs(
+        embs.unionByName(twins), cos_threshold_x1000=900, dim=64
+    ).select(
+        F.lit("pairs").alias("method"), "a_id", "b_id", "cos_x1000",
+        F.lit(None).cast("long").alias("n_dup_cands"),
+        F.lit(None).cast("long").alias("kept"),
+    )
+    t2 = embs.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        _twin(F.col("embedding"), 1).alias("embedding"),
+    )
+    t4 = embs.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        _twin(F.col("embedding"), 2).alias("embedding"),
+    )
+    sd = semdedup(
+        embs.unionByName(t2).unionByName(t4), dim=64, n_cells=16,
+        cos_threshold_x1000=900,
+    ).select(
+        F.lit("semdedup").alias("method"),
+        F.col("vec_id").alias("a_id"),
+        F.lit(None).cast("long").alias("b_id"),
+        F.lit(None).cast("long").alias("cos_x1000"),
+        "n_dup_cands",
+        # kept as 0/1 BIGINT: NULL booleans land asymmetrically in pandas
+        # (None vs NaN) across the two engines; NULL BIGINTs agree
+        F.col("kept").cast("long").alias("kept"),
+    )
+    return pairs.unionByName(sd)
 
 
 def q_multimodal_image_meta(spark, sf_dir):
@@ -3458,20 +3498,46 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_join": knn_sql,
         "embedding_near_dups": (
-            # exact all-pairs cosine over the corpus + one scale-twin per
-            # vector; only the twin pairs clear 0.9
+            # method='pairs': exact all-pairs cosine over the corpus + one
+            # scale-twin per vector; only the twin pairs clear 0.9.
+            # method='semdedup': all-pairs partner count + exists-smaller-id
+            # over the x2(%3)/x4(%6) twin corpus — provably the semdedup
+            # verdicts because twins share cells and tie on cent_x1000
+            # (see q_embedding_near_dups docstring)
             "WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
             "FROM embeddings UNION ALL "
             "SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], "
-            "x -> x * 2) FROM embeddings) "
-            "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+            "x -> x * 2) FROM embeddings), "
+            "sd_corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], "
+            "x -> x * 2) FROM embeddings WHERE vec_id % 3 = 0 UNION ALL "
+            "SELECT vec_id + 20000, list_transform(embedding::DOUBLE[], "
+            "x -> x * 4) FROM embeddings WHERE vec_id % 6 = 0), "
+            "sd_pairs AS (SELECT a.vec_id AS x, b.vec_id AS y "
+            "FROM sd_corpus a, sd_corpus b WHERE a.vec_id != b.vec_id "
+            "AND CAST(round(1000 * list_dot_product(a.e, b.e) / "
+            "(sqrt(list_dot_product(a.e, a.e)) * "
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= 900) "
+            "SELECT 'pairs' AS method, a.vec_id AS a_id, b.vec_id AS b_id, "
             "CAST(round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
-            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000 "
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) AS cos_x1000, "
+            "CAST(NULL AS BIGINT) AS n_dup_cands, "
+            "CAST(NULL AS BIGINT) AS kept "
             "FROM corpus a, corpus b WHERE a.vec_id < b.vec_id "
             "AND CAST(round(1000 * list_dot_product(a.e, b.e) / "
             "(sqrt(list_dot_product(a.e, a.e)) * "
-            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= 900"
+            "sqrt(list_dot_product(b.e, b.e)))) AS BIGINT) >= 900 "
+            "UNION ALL "
+            "SELECT 'semdedup' AS method, v.vec_id AS a_id, "
+            "CAST(NULL AS BIGINT) AS b_id, CAST(NULL AS BIGINT) AS cos_x1000, "
+            "COALESCE(p.cnt, 0) AS n_dup_cands, "
+            "CAST(COALESCE(p.earlier, 0) = 0 AS BIGINT) AS kept "
+            "FROM sd_corpus v LEFT JOIN "
+            "(SELECT x, count(*) AS cnt, "
+            "max(CASE WHEN y < x THEN 1 ELSE 0 END) AS earlier "
+            "FROM sd_pairs GROUP BY x) p ON p.x = v.vec_id"
         ),
         "knn_join_lsh": (
             # exact 1-NN over the corpus + one scale-twin per vector

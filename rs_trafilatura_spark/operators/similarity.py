@@ -321,3 +321,119 @@ def ivf_topk(embeddings: DataFrame, query_vec: list[float], k: int = 10,
         F.col("_cell").isin(probe)
     ).drop("_cell")
     return cosine_topk(cands, query_vec, k, exclude_id=exclude_id)
+
+
+# --- SemDeDup -------------------------------------------------------------------------
+
+
+def _cell_and_centsim_expr(centroids):
+    """struct(cell, cent_x1000): argmax-cosine cell id plus the integer-
+    scaled cosine to that cell's centroid, one Arrow-batched matmul (same
+    BLAS shape as _ivf_cell_expr; centroids are unit-norm from
+    train_ivf_centroids, so cos = dot / |e|).
+
+    Exactness note for scale twins (the oracle construction): for w = 2^t
+    * v, every dot scales by the exact float factor 2^t, |w| = 2^t * |v|
+    exactly (sqrt of an exactly-4^t-scaled sum is the exactly-2^t-scaled
+    sqrt under IEEE round-to-nearest), and the quotient of two
+    exactly-2^t-scaled doubles is the unscaled quotient — so twins get
+    the SAME cell and the SAME cent_x1000, which is what reduces the
+    semdedup greedy order inside a twin group to vec_id order."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(emb: pd.Series) -> pd.DataFrame:
+        if not len(emb):
+            return pd.DataFrame({"cell": pd.Series([], dtype="int32"),
+                                 "cent_x1000": pd.Series([], dtype="int64")})
+        M = np.asarray([np.asarray(e, dtype=np.float64) for e in emb])
+        dots = M @ C.T
+        cell = np.argmax(dots, axis=1)
+        norms = np.sqrt(np.einsum("ij,ij->i", M, M))
+        norms[norms == 0.0] = 1.0
+        cos = dots[np.arange(len(M)), cell] / norms
+        return pd.DataFrame({
+            "cell": cell.astype("int32"),
+            "cent_x1000": np.round(cos * 1000).astype("int64"),
+        })
+
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cent_x1000", T.LongType()),
+    ])
+    return F.pandas_udf(assign, schema)(F.col("embedding"))
+
+
+def semdedup(embeddings: DataFrame, dim: int,
+             centroids: list[list[float]] | None = None,
+             n_cells: int = 16,
+             cos_threshold_x1000: int = 900) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means clustering + within-cluster pairwise cosine.
+    A vector is DROPPED iff some other vector in its cluster clears the
+    cosine threshold and precedes it in (cent_x1000 ASC, vec_id ASC)
+    order — the paper's upper-triangular max-similarity rule with its
+    default keep-low-centroid-similarity ordering, which needs no
+    sequential scan: "has any earlier above-threshold partner" is a plain
+    EXISTS, so the whole operator is joins + one aggregation.
+
+    Returns (vec_id, n_dup_cands, kept): partner count within the cluster
+    at the threshold, and the keep/drop verdict.
+
+    Contract: duplicates are only detected WITHIN a cluster — that is the
+    paper's semantics (its k is sized so clusters stay small), not an
+    approximation bug.  Pairs split across a cell boundary are not
+    compared; exact scale twins always share a cell (argmax cosine is
+    scale-invariant, see _cell_and_centsim_expr).
+
+    100 TB: cell assignment is one map-only Arrow pass; the within-cell
+    self-join shuffles (cell, vec_id, cent_x1000, embedding) rows only
+    and costs O(sum c_i^2) pair evaluations — bounded by the cluster-size
+    cap the centroid count controls (the paper uses k ~ 10^4..10^5 so
+    c_i ~ |D|/k).  The verdict aggregation is a map-side-combinable
+    groupBy on vec_id; at warehouse scale the cell id doubles as the
+    write-time partition key so re-runs skip the assignment scan."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_cells)
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (
+        embeddings
+        .withColumn("_a", _cell_and_centsim_expr(centroids))
+        .select("vec_id", emb.alias("_e"),
+                F.col("_a.cell").alias("_cell"),
+                F.col("_a.cent_x1000").alias("_cent"))
+    )
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("_e").alias("a_e"),
+                    F.col("_cell").alias("_cell"), F.col("_cent").alias("a_cent"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("_e").alias("b_e"),
+                    F.col("_cell").alias("_cell"), F.col("_cent").alias("b_cent"))
+    cos = _dot(F.col("a_e"), F.col("b_e")) / (
+        _norm(F.col("a_e")) * _norm(F.col("b_e"))
+    )
+    directed = (
+        a.join(b, "_cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id", "a_cent", "b_id", "b_cent",
+            F.round(cos * 1000, 0).cast("long").alias("cos_x1000"),
+        )
+        .filter(F.col("cos_x1000") >= cos_threshold_x1000)
+    )
+    earlier = (
+        (F.col("b_cent") < F.col("a_cent"))
+        | ((F.col("b_cent") == F.col("a_cent"))
+           & (F.col("b_id") < F.col("a_id")))
+    ).cast("int")
+    verdicts = directed.groupBy("a_id").agg(
+        F.count(F.lit(1)).alias("n_dup_cands"),
+        F.max(earlier).alias("_has_earlier"),
+    )
+    return (
+        base.join(verdicts, base.vec_id == verdicts.a_id, "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_dup_cands"), F.lit(0)).alias("n_dup_cands"),
+            (F.coalesce(F.col("_has_earlier"), F.lit(0)) == 0).alias("kept"),
+        )
+    )

@@ -636,3 +636,71 @@ def test_downsample_to_mixture_hits_targets_deterministically(spark):
         assert abs(achieved - target) < 0.02, (s, achieved, target)
     # alpha=0.5 flattens: c (2.4% of corpus) rises toward ~13% share
     assert by_src["c"] / total > 0.10
+
+
+def test_semdedup_twins_and_greedy_order(spark):
+    """SemDeDup contract, two halves:
+
+    1. Twin corpus (x2 for vec_id%3==0, x4 for vec_id%6==0): scale twins
+       share cells and tie on cent_x1000 exactly, so the greedy order
+       inside a dup group is vec_id order — every original survives,
+       every twin drops, quad groups count 2 partners each.
+    2. Hand-built single-cluster corpus with DISTINCT centroid sims:
+       verdicts must equal a brute-force Python replay of the paper's
+       triu rule ordered by (cent_x1000 ASC, vec_id ASC), pinning that
+       the order really is centroid-similarity-first (keep-low), not id
+       order.
+    """
+    import numpy as np
+
+    from rs_trafilatura_spark.operators.similarity import semdedup
+
+    embs = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+            .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+            .limit(60))
+    tw = lambda c, t: F.transform(c, lambda x: (x * F.lit(float(2 ** t))).cast("float"))
+    t2 = embs.filter(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), tw(F.col("embedding"), 1).alias("embedding"))
+    t4 = embs.filter(F.col("vec_id") % 6 == 0).select(
+        (F.col("vec_id") + 20000).alias("vec_id"), tw(F.col("embedding"), 2).alias("embedding"))
+    out = {r["vec_id"]: (r["n_dup_cands"], r["kept"]) for r in
+           semdedup(embs.unionByName(t2).unionByName(t4), dim=64,
+                    n_cells=8).collect()}
+    for vid, (n, kept) in out.items():
+        base = vid % 10000
+        expect_n = 2 if base % 6 == 0 else (1 if base % 3 == 0 else 0)
+        assert n == expect_n, (vid, n, expect_n)
+        assert kept == (vid < 10000), (vid, kept)
+
+    # --- hand case: one cluster, distinct cent sims -----------------------
+    # centroid c = e0; vectors at angles so sims to c differ; pairs
+    # (v1,v2) and (v2,v3) clear the threshold, (v1,v3) does not
+    def vec(theta):
+        v = np.zeros(4)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    rows = [(1, vec(0.50)), (2, vec(0.25)), (3, vec(0.02)), (4, vec(1.40))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0, 0.0, 0.0]]
+    got = {r["vec_id"]: (r["n_dup_cands"], r["kept"]) for r in
+           semdedup(df, dim=4, centroids=cents,
+                    cos_threshold_x1000=960).collect()}
+
+    # brute-force replay of the triu rule
+    M = {vid: np.asarray(v) for vid, v in rows}
+    cent = {vid: round(1000 * v[0] / np.linalg.norm(v)) for vid, v in M.items()}
+    order = sorted(M, key=lambda vid: (cent[vid], vid))
+    kept_ref, n_ref = {}, {}
+    for vid in M:
+        partners = [o for o in M if o != vid and round(
+            1000 * float(M[vid] @ M[o])
+            / (np.linalg.norm(M[vid]) * np.linalg.norm(M[o]))) >= 960]
+        n_ref[vid] = len(partners)
+        kept_ref[vid] = not any(
+            order.index(o) < order.index(vid) for o in partners)
+    assert got == {vid: (n_ref[vid], kept_ref[vid]) for vid in M}
+    # sanity on the scenario itself: a chain v1-v2-v3 where the greedy
+    # keeps the two ends (v3 lowest cent sim? no — v3 is CLOSEST to c, so
+    # keep-low keeps v1 first) — assert the interesting asymmetry exists
+    assert len({got[1][1], got[2][1], got[3][1]}) == 2
