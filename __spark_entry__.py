@@ -1440,7 +1440,7 @@ def q_embedding_near_dups(spark, sf_dir):
         _twin(F.col("embedding"), 2).alias("embedding"),
     )
     sd = semdedup(
-        embs.unionByName(t2).unionByName(t4), dim=64, n_cells=16,
+        embs.unionByName(t2).unionByName(t4), n_cells=16,
         cos_threshold_x1000=900,
     ).select(
         F.lit("semdedup").alias("method"),

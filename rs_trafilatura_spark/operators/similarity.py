@@ -365,7 +365,7 @@ def _cell_and_centsim_expr(centroids):
     return F.pandas_udf(assign, schema)(F.col("embedding"))
 
 
-def semdedup(embeddings: DataFrame, dim: int,
+def semdedup(embeddings: DataFrame,
              centroids: list[list[float]] | None = None,
              n_cells: int = 16,
              cos_threshold_x1000: int = 900) -> DataFrame:

@@ -47,6 +47,9 @@ def pretraining_pipeline(
     dedup_paragraphs: bool = False,
     dedup_substrings: bool = False,
     substring_span_words: int = 50,
+    embeddings: Optional[DataFrame] = None,
+    semdedup_threshold_x1000: int = 950,
+    semdedup_cells: int = 16,
     ccnet_keep: Optional[tuple[str, ...]] = None,
     dsir_target: Optional[DataFrame] = None,
     dsir_top_frac_x100: int = 50,
@@ -183,6 +186,22 @@ def pretraining_pipeline(
             .filter(F.length("text") > 0)
         )
         _record("after_substring_dedup", corpus.count())
+
+    if embeddings is not None:
+        from ..operators.similarity import semdedup
+
+        # SemDeDup semantic tier (Abbas et al. 2023): embeddings is
+        # (doc_id, embedding) keyed by the pipeline's xxhash64(url)
+        # doc_id.  Docs WITHOUT an embedding row cannot be judged and are
+        # kept (anti-join against the dropped set, not a semi-join
+        # against the kept set).
+        dropped = semdedup(
+            embeddings.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            n_cells=semdedup_cells,
+            cos_threshold_x1000=semdedup_threshold_x1000,
+        ).filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        corpus = _gate(corpus.join(dropped, "doc_id", "left_anti"))
+        _record("after_semantic_dedup", corpus.count())
 
     if benchmark is not None:
         from ..operators.decontaminate import mark_contaminated

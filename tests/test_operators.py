@@ -664,7 +664,7 @@ def test_semdedup_twins_and_greedy_order(spark):
     t4 = embs.filter(F.col("vec_id") % 6 == 0).select(
         (F.col("vec_id") + 20000).alias("vec_id"), tw(F.col("embedding"), 2).alias("embedding"))
     out = {r["vec_id"]: (r["n_dup_cands"], r["kept"]) for r in
-           semdedup(embs.unionByName(t2).unionByName(t4), dim=64,
+           semdedup(embs.unionByName(t2).unionByName(t4),
                     n_cells=8).collect()}
     for vid, (n, kept) in out.items():
         base = vid % 10000
@@ -684,7 +684,7 @@ def test_semdedup_twins_and_greedy_order(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     cents = [[1.0, 0.0, 0.0, 0.0]]
     got = {r["vec_id"]: (r["n_dup_cands"], r["kept"]) for r in
-           semdedup(df, dim=4, centroids=cents,
+           semdedup(df, centroids=cents,
                     cos_threshold_x1000=960).collect()}
 
     # brute-force replay of the triu rule

@@ -203,3 +203,77 @@ def test_pipeline_guess_language_datasheet(spark):
         assert max(langs, key=langs.get) == "en"
     finally:
         out["release"]()
+
+
+def test_pipeline_semantic_dedup_stage(spark):
+    """SemDeDup stage: docs whose embeddings are exact scale-copies of
+    another doc's drop (one survivor per group, smallest doc_id under
+    tied centroid sims); docs WITHOUT an embedding row are kept."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+
+    pages = generate_pages_df(spark, n_rows=40)
+    ids = [r["doc_id"] for r in pages.select(
+        F.xxhash64("url").alias("doc_id")).collect()]
+    ids.sort()
+    # distinct random embeddings; the last 6 ids become x2 copies of the
+    # first 3 (two copies each -> 3 groups of 3, greedy keeps min id);
+    # the 4th id gets NO embedding row at all
+    rng = np.random.RandomState(7)
+    rows = []
+    no_emb = ids[3]
+    twin_of = {}
+    for i, d in enumerate(ids):
+        if d == no_emb:
+            continue
+        if i >= len(ids) - 6:
+            src = ids[(i - (len(ids) - 6)) % 3]
+            twin_of[d] = src
+            base = rows_by_id[src]
+            rows.append((d, [float(x * 2.0) for x in base]))
+        else:
+            v = rng.randn(16)
+            v = [float(x) for x in v / np.linalg.norm(v)]
+            if i == 0:
+                rows_by_id = {}
+            rows_by_id[d] = v
+            rows.append((d, v))
+    embs = spark.createDataFrame(rows, ["doc_id", "embedding"])
+
+    out = pretraining_pipeline(
+        spark, pages, Options(),
+        embeddings=embs, semdedup_threshold_x1000=950, semdedup_cells=4,
+    )
+    try:
+        report = dict(out["report"])
+        kept_ids = {r["doc_id"] for r in out["corpus"].select("doc_id").collect()}
+        n_before = report["after_curation_and_near_dup"]
+        # every surviving curated doc that is a scale-copy must be gone;
+        # its source (smaller id, tied cent sim) must survive when curated
+        survivors_before = set()
+        # reconstruct which ids were still present before the stage: the
+        # stage only removes, so kept_ids + dropped twins == before-set
+        for d, src in twin_of.items():
+            assert d not in kept_ids, "scale-copy survived semantic dedup"
+        assert report["after_semantic_dedup"] == len(kept_ids)
+        assert report["after_semantic_dedup"] <= n_before
+        # the no-embedding doc is never dropped by this stage: if it was
+        # curated in, it must still be present
+        curated_only = pretraining_pipeline(spark, pages, Options())
+        try:
+            base_ids = {r["doc_id"] for r in
+                        curated_only["corpus"].select("doc_id").collect()}
+        finally:
+            curated_only["release"]()
+        if no_emb in base_ids:
+            assert no_emb in kept_ids
+        # originals of dropped twins survive when they were curated in
+        for d, src in twin_of.items():
+            if src in base_ids:
+                assert src in kept_ids, "group survivor was dropped"
+    finally:
+        out["release"]()
