@@ -71,6 +71,7 @@ class Element:
                  "_srcpos", "_desc_cache", "_desc_gen",
                  "_text_cache", "_text_gen",
                  "_classed_cache", "_classed_gen",
+                 "_attred_cache", "_attred_gen",
                  "_tagidx_cache", "_tagidx_gen")
 
     def __init__(self, tag: str, attrib: Optional[dict] = None):
@@ -88,6 +89,8 @@ class Element:
         self._text_gen: int = -1
         self._classed_cache: Optional[list] = None
         self._classed_gen: int = -1
+        self._attred_cache: Optional[list] = None
+        self._attred_gen: int = -1
         self._tagidx_cache: Optional[dict] = None
         self._tagidx_gen: int = -1
 
@@ -179,6 +182,21 @@ class Element:
                if "class" in el.attrib or "id" in el.attrib]
         self._classed_cache = out
         self._classed_gen = _TREE_GEN
+        return out
+
+    def attributed_desc_list(self) -> list:
+        """Descendants carrying ANY attribute, in document order — the
+        only elements an attribute-requiring selector ([rel=...],
+        [itemprop=...], [datetime], class/id forms) can possibly match.
+        Same caching/stability contract as classed_desc_list: the kernel
+        never writes attributes after parse (grep-audited — attrib
+        writes are confined to the parser), so membership is stable
+        within a generation."""
+        if self._attred_gen == _TREE_GEN and self._attred_cache is not None:
+            return self._attred_cache
+        out = [el for el in self.desc_list() if el.attrib]
+        self._attred_cache = out
+        self._attred_gen = _TREE_GEN
         return out
 
     def tag_index(self) -> Optional[dict]:

@@ -55,7 +55,7 @@ def _parse_attr(body: str) -> Callable[[Element], bool]:
 
 
 class _Compound:
-    __slots__ = ("tag", "preds", "needs_cls_or_id")
+    __slots__ = ("tag", "preds", "needs_cls_or_id", "needs_attr")
 
     def __init__(self, token: str):
         m = _SIMPLE_RE.match(token)
@@ -64,6 +64,11 @@ class _Compound:
         # True when no element LACKING both class and id can match: lets
         # iter_select scan the (much shorter) classed_desc_list snapshot
         self.needs_cls_or_id = False
+        # weaker gate: True when no ATTRIBUTE-LESS element can match —
+        # presence/[attr=v]/non-empty-value substring forms all require
+        # the attribute to exist, so iter_select can scan the
+        # attributed_desc_list snapshot (class/id forms imply this too)
+        self.needs_attr = False
         if not m:
             return
         tag = m.group("tag")
@@ -74,6 +79,7 @@ class _Compound:
                 ident = pm.group(1)
                 self.preds.append(lambda el, i=ident: el.attrib.get("id") == i)
                 self.needs_cls_or_id = True
+                self.needs_attr = True
             elif pm.group(2):
                 cls = pm.group(2)
                 # substring pre-filter: token membership implies substring,
@@ -85,6 +91,7 @@ class _Compound:
                     )
                 )
                 self.needs_cls_or_id = True
+                self.needs_attr = True
             elif pm.group(3):
                 body = pm.group(3).strip()
                 attr_m = _ATTR_RE.match(body)
@@ -94,6 +101,18 @@ class _Compound:
                     # (which _parse_attr maps to const-False — also safe
                     # to restrict to any subset)
                     self.needs_cls_or_id = True
+                if attr_m is not None:
+                    op, val = attr_m.group(2), attr_m.group(3)
+                    if val is not None:
+                        val = val.strip()
+                        if (len(val) >= 2 and val[0] in "\"'"
+                                and val[-1] == val[0]):
+                            val = val[1:-1]
+                    # presence always requires the attr; comparison forms
+                    # require it unless a degenerate empty value could
+                    # match an absent attr via the get(n, "") default
+                    if op is None or op == "=" or (val or "") != "":
+                        self.needs_attr = True
                 self.preds.append(_parse_attr(body))
 
     def matches(self, el: Element) -> bool:
@@ -184,14 +203,15 @@ def _last_tag_dispatch(selector: str):
 
 @lru_cache(maxsize=4096)
 def _single_step_compounds(selector: str):
-    """[(tag, preds, needs_cls_or_id)] when every chain is one compound;
-    else None."""
+    """[(tag, preds, needs_cls_or_id, needs_attr)] when every chain is
+    one compound; else None."""
     out = []
     for ch in _compile(selector):
         if len(ch.steps) != 1:
             return None
         comp = ch.steps[0][1]
-        out.append((comp.tag, tuple(comp.preds), comp.needs_cls_or_id))
+        out.append((comp.tag, tuple(comp.preds), comp.needs_cls_or_id,
+                    comp.needs_attr))
     return tuple(out) if out else None
 
 
@@ -255,8 +275,10 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
                         yield el
                 return
         # class/id-gated compounds can only match elements that HAVE a
-        # class or id: scan that (much shorter) per-generation snapshot
+        # class or id: scan that (much shorter) per-generation snapshot;
+        # other attribute-requiring compounds scan the attributed subset
         scan = (root.classed_desc_list() if comp.needs_cls_or_id
+                else root.attributed_desc_list() if comp.needs_attr
                 else root.desc_list())
         if len(preds) == 1:
             pred = preds[0]
@@ -306,12 +328,16 @@ def iter_select(root: Element, selector: str) -> Iterator[Element]:
     comps = _single_step_compounds(selector)
     if comps is not None:
         # the union can only skip class/id-less elements when EVERY
-        # branch is class/id-gated (a branch is an OR alternative)
+        # branch is class/id-gated (a branch is an OR alternative);
+        # likewise attribute-less elements when every branch needs an attr
         scan = (root.classed_desc_list()
-                if all(c[2] for c in comps) else root.desc_list())
+                if all(c[2] for c in comps)
+                else root.attributed_desc_list()
+                if all(c[2] or c[3] for c in comps)
+                else root.desc_list())
         for el in scan:
             tag = el.tag
-            for ctag, preds, _needs in comps:
+            for ctag, preds, _needs, _na in comps:
                 if ctag is not None and tag != ctag:
                     continue
                 for p in preds:

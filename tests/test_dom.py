@@ -291,3 +291,39 @@ def test_tag_index_order_parity_and_invalidation():
     small.desc_list()
     assert small.tag_index() is None
     assert [e.text for e in select(small, "p")] == ["a", "b"]
+
+
+def test_attributed_desc_list_and_attr_selector_gating():
+    """attributed_desc_list: document-order attribute-carrying
+    descendants, generation-cached; attr-requiring selectors must match
+    identically when scanned through it (including forms that do NOT
+    need class/id), and degenerate empty-value substring selectors must
+    NOT be gated (they can match attribute-less elements via the
+    get(n, '') default)."""
+    from rs_trafilatura_spark.dom.parser import parse_html
+    from rs_trafilatura_spark.dom.select import _Chain, select
+
+    root = parse_html(
+        "<div><a rel='author'>A</a><p>plain</p>"
+        "<span itemprop='datePublished' datetime='2020-01-02'>d</span>"
+        "<time datetime='2021-03-04'>t</time><b>bare</b></div>"
+    )
+    attred = root.attributed_desc_list()
+    assert [e.tag for e in attred] == ["a", "span", "time"]
+    assert attred is root.attributed_desc_list()  # cached
+    # selector results equal a brute-force scan for attr-requiring forms
+    for sel in ("[rel='author']", "[itemprop='datePublished']",
+                "[datetime]", "[rel='author'], [datetime]"):
+        got = [e.tag for e in select(root, sel)]
+        chains = [_Chain(a.strip()) for a in sel.split(",")]
+        ref = [e.tag for e in root.desc_list()
+               if any(c.matches(e) for c in chains)]
+        assert got == ref, sel
+    # degenerate: [class*=''] matches EVERYTHING (empty substring of the
+    # '' default) — must not be restricted to attributed elements
+    assert len(select(root, "[foo*='']")) == len(root.desc_list())
+    # invalidation: structural mutation rebuilds the snapshot
+    from rs_trafilatura_spark.dom.element import Element
+    root.children[0].append(Element("i", {"x": "1"}))
+    assert [e.tag for e in root.attributed_desc_list()] == \
+        ["a", "span", "time", "i"]
