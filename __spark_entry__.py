@@ -916,7 +916,30 @@ def q_corpus_datasheet(spark, sf_dir):
         .select(F.lit("docs_per_guessed_lang").alias("section"),
                 "key", "value")
     )
-    return corpus_datasheet(docs).unionByName(stages).unionByName(guessed)
+    # (r6) tokenizer-training sections: word-frequency vocab top-20 and
+    # BPE round-1 char-pair top-20 over the engine-exact ASCII slice
+    # (filter-then-lower; counts integer; (n, word) / (pair_n, left,
+    # right) are total orders so the top-20 sets match across engines)
+    from rs_trafilatura_spark.operators.tokenizer import (
+        char_pair_counts, word_vocab,
+    )
+
+    vocab = word_vocab(docs, ascii_only=True)
+    topw = (
+        vocab.orderBy(F.desc("n"), F.asc("word")).limit(20)
+        .select(F.lit("tokenizer_top_words").alias("section"),
+                F.col("word").alias("key"),
+                F.col("n").cast("long").alias("value"))
+    )
+    topp = (
+        char_pair_counts(vocab)
+        .orderBy(F.desc("pair_n"), F.asc("left"), F.asc("right")).limit(20)
+        .select(F.lit("tokenizer_top_pairs").alias("section"),
+                F.concat("left", F.lit("+"), "right").alias("key"),
+                F.col("pair_n").cast("long").alias("value"))
+    )
+    return (corpus_datasheet(docs).unionByName(stages)
+            .unionByName(guessed).unionByName(topw).unionByName(topp))
 
 
 # planted cross-document duplicate paragraph so paragraph_dedup provably
@@ -3225,6 +3248,25 @@ def oracle_sql() -> dict[str, str]:
             "lang_guess AS key, CAST(count(*) AS BIGINT) AS value FROM "
             f"(SELECT {_lang_guess_case()} AS lang_guess FROM documents) g "
             "GROUP BY lang_guess"
+            # tokenizer sections: ASCII filter on the RAW token, lower
+            # after (same order as the Spark side), integer counts
+            + " UNION ALL SELECT 'tokenizer_top_words' AS section, "
+            "word AS key, CAST(n AS BIGINT) AS value FROM ("
+            "SELECT lower(w) AS word, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE regexp_matches(w, '^[A-Za-z]+$') GROUP BY lower(w) "
+            "ORDER BY n DESC, word ASC LIMIT 20)"
+            + " UNION ALL SELECT 'tokenizer_top_pairs' AS section, "
+            "lft || '+' || rgt AS key, CAST(pair_n AS BIGINT) AS value "
+            "FROM (SELECT substr(word, i, 1) AS lft, "
+            "substr(word, i + 1, 1) AS rgt, sum(n) AS pair_n FROM ("
+            "SELECT lower(w) AS word, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE regexp_matches(w, '^[A-Za-z]+$') GROUP BY lower(w)) v, "
+            "LATERAL (SELECT unnest(generate_series(1, len(word) - 1)) "
+            "AS i) s WHERE len(word) >= 2 "
+            "GROUP BY lft, rgt ORDER BY pair_n DESC, lft ASC, rgt ASC "
+            "LIMIT 20)"
         ),
         "minhash_lsh_pairs": (
             # all-pairs exact shingle-set Jaccard; the Spark side must find

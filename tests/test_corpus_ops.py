@@ -630,3 +630,66 @@ def test_canonical_fingerprint_catches_trivial_variants(spark):
     assert len({exact[0], exact[1], exact[2]}) == 3  # byte-exact differs
     assert canon[3] != canon[0]
     assert canon[4] != canon[0]
+
+
+def test_bpe_train_matches_reference_python(spark):
+    """Distributed BPE primitives vs a sequential reference trainer:
+    word vocab, round-1 char pairs, and 4 merge rounds (counts, choice,
+    application) must agree exactly, including the count-DESC /
+    left-ASC / right-ASC tie-break."""
+    import collections
+
+    from rs_trafilatura_spark.operators.tokenizer import (
+        bpe_train, char_pair_counts, word_vocab,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat and the cat",
+        "low lower lowest low low",
+        "a ab abc abcd the them theme",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    # reference: classic sequential BPE over a word-frequency dict
+    freq = collections.Counter(
+        w for t in texts for w in t.lower().split() if w)
+    vocab = {r["word"]: r["n"] for r in word_vocab(docs).collect()}
+    assert vocab == dict(freq)
+
+    def ref_pairs(symfreq):
+        pc = collections.Counter()
+        for syms, n in symfreq:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        return pc
+
+    symfreq = [(tuple(w), n) for w, n in freq.items()]
+    got_r1 = {(r["left"], r["right"]): r["pair_n"]
+              for r in char_pair_counts(word_vocab(docs)).collect()}
+    assert got_r1 == dict(ref_pairs(symfreq))
+
+    def ref_apply(symfreq, left, right):
+        out = []
+        for syms, n in symfreq:
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append((tuple(res), n))
+        return out
+
+    ref_merges = []
+    for _ in range(4):
+        pc = ref_pairs(symfreq)
+        (l, r), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        ref_merges.append((l, r, n))
+        symfreq = ref_apply(symfreq, l, r)
+
+    assert bpe_train(docs, n_merges=4) == ref_merges
