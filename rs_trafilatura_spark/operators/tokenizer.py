@@ -28,8 +28,13 @@ Determinism: ties in pair counts break on the pair's string form
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+# mirrors word_vocab's ascii_only slice: filter on the RAW token, lower after
+_ASCII_WORD_RE = re.compile(r"^[A-Za-z]+\Z")
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text",
@@ -163,3 +168,97 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
         merges.append((left, right, int(pair_n)))
         symtab = _apply_merge(symtab, left, right).localCheckpoint(eager=True)
     return merges
+
+
+def _encode_word(word: str, merge_seq: list[tuple[str, str]],
+                 cache: dict) -> list[str]:
+    """Encode one word by applying the trained merges IN TRAINING ORDER,
+    each as a non-overlapping left-to-right pass — byte-for-byte the same
+    semantics as ``_apply_merge``, so encode(corpus) and the trainer's
+    final symbol table always agree.  (GPT-2-style min-rank-first
+    encoders can diverge when a later merge creates a new adjacency of an
+    earlier pair; training-order application cannot, because training
+    itself never revisits a finished merge.)"""
+    hit = cache.get(word)
+    if hit is not None:
+        return hit
+    syms = list(word)
+    for left, right in merge_seq:
+        if len(syms) < 2:
+            break
+        if left not in syms:
+            continue
+        merged = left + right
+        res = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                res.append(merged)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    cache[word] = syms
+    return syms
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple], text_col: str = "text",
+               ascii_only: bool = False, with_tokens: bool = False,
+               count_col: str = "bpe_n_tokens",
+               tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Encode every document under a trained merge list; adds an exact
+    token count (and optionally the token sequence) per document.
+
+    100 TB shape: the merge list is O(vocab) and ships inside the UDF
+    closure (broadcast-sized by construction); encoding is ONE map-only
+    Arrow pass over the corpus — no shuffle, no join, and a per-batch
+    unique-word cache means each distinct word is encoded once per batch
+    (web text repeats words heavily, so the cache hit rate is the Zipf
+    mass).  Word segmentation matches ``word_vocab`` exactly (whitespace
+    split; ``ascii_only`` filters ^[A-Za-z]+$ on the raw token before
+    lowering), so counts are consistent with what the vocab was trained
+    on.  Token COUNTS feed pack_sequences/mixture math; sequences are
+    only materialized when ``with_tokens`` (the shard writer's input)."""
+    from pyspark.sql import types as T
+
+    merge_seq = [(left, right) for left, right, *_ in merges]
+    ascii_re = _ASCII_WORD_RE if ascii_only else None
+
+    fields = list(docs.schema.fields) + [
+        T.StructField(count_col, T.LongType()),
+    ]
+    if with_tokens:
+        fields.append(T.StructField(tokens_col,
+                                    T.ArrayType(T.StringType())))
+    out_schema = T.StructType(fields)
+
+    def encode_batches(it):
+        cache: dict = {}
+        for pdf in it:
+            counts = []
+            seqs = [] if with_tokens else None
+            for text in pdf[text_col]:
+                if text is None:
+                    counts.append(0)
+                    if with_tokens:
+                        seqs.append([])
+                    continue
+                toks: list = []
+                for w in text.split(" "):
+                    if not w:
+                        continue
+                    if ascii_re is not None and not ascii_re.match(w):
+                        continue
+                    toks.extend(_encode_word(w.lower(), merge_seq, cache))
+                counts.append(len(toks))
+                if with_tokens:
+                    seqs.append(toks)
+            res = pdf.copy()
+            res[count_col] = pd.array(counts, dtype="int64")
+            if with_tokens:
+                res[tokens_col] = seqs
+            yield res
+
+    return docs.mapInPandas(encode_batches, schema=out_schema)

@@ -693,3 +693,70 @@ def test_bpe_train_matches_reference_python(spark):
         symfreq = ref_apply(symfreq, l, r)
 
     assert bpe_train(docs, n_merges=4) == ref_merges
+
+
+def test_bpe_encode_matches_sequential_replay(spark):
+    """bpe_encode applies the trained merges in training order with
+    _apply_merge's non-overlapping left-to-right semantics; counts and
+    sequences must match a sequential replay, including OOV words (pure
+    char fallback), null text, and the ascii_only slice."""
+    from rs_trafilatura_spark.operators.tokenizer import bpe_encode, bpe_train
+
+    train_texts = [
+        "the cat sat on the mat",
+        "the hat and the bat and the cat",
+        "low lower lowest low low",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], ["doc_id", "text"])
+    merges = bpe_train(train, n_merges=6)
+    assert len(merges) == 6
+
+    enc_texts = [
+        "the lowest cat",            # in-vocab words
+        "zzyzx the",                 # OOV word -> char fallback + merges
+        None,                        # null -> 0 tokens
+        "THE Cat 123 café ok",  # case fold; ascii gate drops 123/café
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc_texts)], ["doc_id", "text"])
+
+    def ref_encode_word(word, seq):
+        syms = list(word)
+        for left, right in seq:
+            res, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == left
+                        and syms[i + 1] == right):
+                    res.append(left + right)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    seq = [(l, r) for l, r, _ in merges]
+    got_by_slice = {}
+    for ascii_only in (False, True):
+        got = {r["doc_id"]: (r["bpe_n_tokens"], r["bpe_tokens"])
+               for r in bpe_encode(docs, merges, ascii_only=ascii_only,
+                                   with_tokens=True).collect()}
+        got_by_slice[ascii_only] = got
+        for i, t in enumerate(enc_texts):
+            want = []
+            for w in (t or "").split(" "):
+                if not w:
+                    continue
+                if ascii_only and not w.isalpha():
+                    continue
+                if ascii_only and not w.isascii():
+                    continue
+                want.extend(ref_encode_word(w.lower(), seq))
+            assert got[i] == (len(want), want), (ascii_only, i)
+
+    # count-only path: same counts, no tokens column
+    count_only = bpe_encode(docs, merges)
+    assert "bpe_tokens" not in count_only.columns
+    assert ({r["doc_id"]: r["bpe_n_tokens"] for r in count_only.collect()}
+            == {i: got_by_slice[False][i][0] for i in range(len(enc_texts))})
