@@ -45,14 +45,21 @@ def _global_token_start(documents: DataFrame, order_col: str,
     running-token offset in ``order_col`` order, via the distributed
     prefix sum (bucketed cumsum + O(n/width) driver offsets broadcast
     back — never a global single-task window).  Shared engine of
-    pack_shards / pack_sequences."""
+    pack_shards / pack_sequences.
+
+    Token currency: an existing ``n_tokens`` column is honored (e.g. the
+    pipeline's exact trained-BPE counts); otherwise whitespace word
+    counts are derived from ``text``."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     spark = documents.sparkSession
+    n_tok = (F.col("n_tokens").cast("long")
+             if "n_tokens" in documents.columns
+             else F.size(F.split(F.col("text"), " ")).cast("long"))
     toks = documents.select(
         F.col(order_col).alias("_ord"),
         F.col("doc_id"),
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.floor(F.col(order_col) / bucket_width).alias("_bucket"),
         *[F.col(c) for c in carry],
     )

@@ -59,6 +59,7 @@ def pretraining_pipeline(
     max_pages_per_host: Optional[int] = None,
     mixture_alpha_x100: Optional[int] = None,
     seq_len: Optional[int] = None,
+    tokenizer_merges: Optional[list] = None,
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
     datasheet: bool = False,
@@ -75,6 +76,11 @@ def pretraining_pipeline(
     - ``stage_seconds``: {stage: wall seconds} — each report count is a
       forced materialization, so the gap between counts IS that stage's
       cost (the first entry also carries Spark/session warmup),
+    - ``n_tokens`` is a whitespace word count by default; pass
+      ``tokenizer_merges`` (a trained BPE merge list from
+      ``operators.tokenizer.bpe_train``) to bill documents in exact
+      trained-tokenizer tokens instead — packing, shard budgets and the
+      datasheet then all use real training tokens,
     - ``sequences``: pack_sequences assignment (when ``seq_len``; with
       ``split_weights_x100`` set, packed per split and carrying a
       ``split`` column — (split, seq_id) is then the key),
@@ -256,9 +262,17 @@ def pretraining_pipeline(
         ).drop("source"))
         _record("after_mixture_downsample", corpus.count())
 
-    corpus = corpus.withColumn(
-        "n_tokens", F.size(F.split("text", " ")).cast("long")
-    )
+    if tokenizer_merges is not None:
+        # exact token counts under a trained BPE merge list (one map-only
+        # Arrow pass, operators/tokenizer.py) — packing/mixture math then
+        # bills documents in real training tokens, not whitespace words
+        from ..operators.tokenizer import bpe_encode
+
+        corpus = bpe_encode(corpus, tokenizer_merges, count_col="n_tokens")
+    else:
+        corpus = corpus.withColumn(
+            "n_tokens", F.size(F.split("text", " ")).cast("long")
+        )
 
     if split_weights_x100 is not None:
         from ..operators.packing import split_corpus

@@ -277,3 +277,42 @@ def test_pipeline_semantic_dedup_stage(spark):
                 assert src in kept_ids, "group survivor was dropped"
     finally:
         out["release"]()
+
+
+def test_pipeline_bpe_token_billing(spark):
+    """tokenizer_merges switches n_tokens from whitespace words to exact
+    trained-BPE token counts; sequence packing then bills in the same
+    currency (sum over sequences == sum over corpus)."""
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.operators.tokenizer import bpe_encode, bpe_train
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+
+    pages = generate_pages_df(spark, n_rows=40)
+    base = pretraining_pipeline(spark, pages, Options())
+    try:
+        merges = bpe_train(base["corpus"], n_merges=12)
+    finally:
+        base["release"]()
+    assert len(merges) == 12
+
+    out = pretraining_pipeline(
+        spark, pages, Options(), tokenizer_merges=merges, seq_len=128,
+    )
+    try:
+        corpus = out["corpus"]
+        direct = bpe_encode(corpus.drop("n_tokens"), merges,
+                            count_col="bpe_direct")
+        joined = corpus.join(direct.select("doc_id", "bpe_direct"), "doc_id")
+        assert joined.filter(
+            F.col("n_tokens") != F.col("bpe_direct")).count() == 0
+        # BPE merges compress: counts differ from whitespace words
+        words = corpus.select(
+            F.sum(F.size(F.split("text", " "))).alias("w")
+        ).collect()[0]["w"]
+        total = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+        assert total != words
+        seqs = out["sequences"]
+        assert seqs.agg(F.sum("n_tokens")).collect()[0][0] == total
+    finally:
+        out["release"]()
