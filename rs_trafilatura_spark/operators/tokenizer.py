@@ -170,6 +170,61 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     return merges
 
 
+def bpe_train_local(docs: DataFrame, n_merges: int, text_col: str = "text",
+                    ascii_only: bool = False,
+                    min_count: int = 0) -> list[tuple[str, str, int]]:
+    """Same merges as ``bpe_train``, different execution split: ONE
+    distributed word-count shuffle (the only corpus-sized pass), then the
+    k-round merge loop runs driver-side over the collected |V|-row vocab.
+
+    This is the shape a 100 TB deployment actually wants: the corpus pass
+    is the standard word-count shuffle, while the merge loop touches only
+    the vocabulary — |V| grows ~O(corpus^0.5) (Heaps' law) and a
+    ``min_count`` floor bounds it hard, so collecting it is a bounded
+    O(|V|) driver transfer, not a corpus collect.  ``bpe_train`` (2 Spark
+    jobs per round) exists for vocabularies too large to collect;
+    equality of the two is pinned by pytest.
+
+    ``min_count`` drops words rarer than the floor BEFORE training
+    (standard practice; hapaxes are mostly typos/noise and dominate |V|).
+    """
+    vocab = word_vocab(docs, text_col=text_col, ascii_only=ascii_only)
+    if min_count > 1:
+        vocab = vocab.filter(F.col("n") >= min_count)
+    symfreq = [(tuple(r["word"]), r["n"]) for r in vocab.collect()]
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, n in symfreq:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        if not counts:
+            break
+        (left, right), pair_n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, pair_n))
+        merged = left + right
+        nxt = []
+        for syms, n in symfreq:
+            if left in syms:
+                res, i, ln = [], 0, len(syms)
+                while i < ln:
+                    if (i + 1 < ln and syms[i] == left
+                            and syms[i + 1] == right):
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                nxt.append((tuple(res), n))
+            else:
+                nxt.append((syms, n))
+        symfreq = nxt
+    return merges
+
+
 def _encode_word(word: str, merge_seq: list[tuple[str, str]],
                  cache: dict) -> list[str]:
     """Encode one word by applying the trained merges IN TRAINING ORDER,

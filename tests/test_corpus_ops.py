@@ -760,3 +760,35 @@ def test_bpe_encode_matches_sequential_replay(spark):
     assert "bpe_tokens" not in count_only.columns
     assert ({r["doc_id"]: r["bpe_n_tokens"] for r in count_only.collect()}
             == {i: got_by_slice[False][i][0] for i in range(len(enc_texts))})
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """The driver-side merge loop (one word-count shuffle + O(|V|) local
+    training) must produce byte-identical merges to the per-round Spark
+    trainer, and min_count must prune hapaxes before training."""
+    from rs_trafilatura_spark.operators.tokenizer import (
+        bpe_train, bpe_train_local, word_vocab,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the hat and the bat and the cat",
+        "low lower lowest low low",
+        "a ab abc abcd the them theme",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+
+    assert bpe_train_local(docs, n_merges=5) == bpe_train(docs, n_merges=5)
+
+    # min_count=2 removes hapax words entirely from training
+    kept = {r["word"] for r in word_vocab(docs).collect()
+            if r["n"] >= 2}
+    pruned = bpe_train_local(docs, n_merges=3, min_count=2)
+    for left, right, _n in pruned:
+        # every counted pair must be derivable from kept words only
+        assert any((left + right) in w or (left in w and right in w)
+                   for w in kept)
+    # exhaustion: more merges requested than pairs exist ends cleanly
+    tiny = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    assert len(bpe_train_local(tiny, n_merges=10)) == 1
