@@ -198,3 +198,29 @@ def test_datasheet_single_corpus_scan(spark, tmp_path):
     plan = _plan(corpus_datasheet(spark.read.parquet(pq)))
     assert "parquet" not in plan.lower(), plan
     assert "partial_" in plan, plan
+
+
+def test_tokenizer_plan_shapes(spark):
+    """word_vocab must map-side combine (partial+final HashAggregate
+    around ONE word exchange — at 100 TB the partial agg is what keeps
+    the shuffle at vocab-, not corpus-, volume); bpe_encode must be a
+    map-only pass: ZERO exchanges, the merge list rides the closure."""
+    from rs_trafilatura_spark.operators.tokenizer import (
+        bpe_encode, char_pair_counts, word_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(50)],
+        ["doc_id", "text"])
+
+    vplan = _plan(word_vocab(docs))
+    assert vplan.lower().count("exchange") == 1
+    assert "partial_count" in vplan.lower() or "partial" in vplan.lower()
+
+    pplan = _plan(char_pair_counts(word_vocab(docs)))
+    # vocab shuffle + pair shuffle, nothing else
+    assert pplan.lower().count("exchange") == 2
+
+    eplan = _plan(bpe_encode(docs, [("t", "h", 100), ("th", "e", 90)]))
+    assert "exchange" not in eplan.lower()
+    assert "mapinpandas" in eplan.lower().replace(" ", "")
