@@ -101,3 +101,35 @@ def test_chunk_documents_matches_reference(spark):
                 if ws
             }
             assert got[cid] == expect, (cid, n, size, overlap)
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(alphabet="abc", min_size=1, max_size=2),
+                  st.text(alphabet="abc", min_size=1, max_size=2)),
+        max_size=6,
+    ),
+    st.text(alphabet="abc", min_size=1, max_size=12),
+)
+@settings(max_examples=300, deadline=None)
+def test_encode_word_equals_training_order_application(merges, word):
+    """_encode_word (the corpus encoder's inner loop) must equal applying
+    each merge as its own non-overlapping left-to-right pass in training
+    order — the exact semantics bpe_train's _apply_merge uses, so
+    encode(corpus) always agrees with the trainer's final symbol table
+    (min-rank-first encoders break this when a later merge creates a new
+    adjacency of an earlier pair)."""
+    from rs_trafilatura_spark.operators.tokenizer import _encode_word
+
+    syms = list(word)
+    for left, right in merges:
+        res, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                res.append(left + right)
+                i += 2
+            else:
+                res.append(syms[i])
+                i += 1
+        syms = res
+    assert _encode_word(word, merges, {}) == syms
