@@ -290,8 +290,13 @@ def bpe_encode(docs: DataFrame, merges: list[tuple], text_col: str = "text",
     out_schema = T.StructType(fields)
 
     def encode_batches(it):
+        # the cache lives for the whole task (all Arrow batches); a task
+        # covers ~100s of MB of text at deployment split sizes, so cap it
+        # — Zipf means the hot head does the work and a reset is cheap
         cache: dict = {}
         for pdf in it:
+            if len(cache) > 2_000_000:
+                cache.clear()
             counts = []
             seqs = [] if with_tokens else None
             for text in pdf[text_col]:
