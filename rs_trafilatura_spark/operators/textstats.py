@@ -267,7 +267,11 @@ def c4_line_filter(documents: DataFrame, min_line_words: int = 3,
     lines = F.split(F.col("text"), "\n")
     kept = F.filter(
         lines,
-        lambda l: l.rlike('[.!?"]$')
+        # \z, not $: Java's $ would also match before a trailing \r on
+        # lines split out of CRLF text (Java treats \r as a terminator),
+        # where the RE2 oracle's $ is absolute end-of-text — \z keeps the
+        # two engines byte-agreed on CRLF corpora
+        lambda l: l.rlike('[.!?"]\\z')
         & (F.size(F.split(l, " ")) >= min_line_words),
     )
     lower = F.lower(F.col("text"))

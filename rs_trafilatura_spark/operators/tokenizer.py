@@ -51,7 +51,12 @@ def word_vocab(docs: DataFrame, text_col: str = "text",
             docs.select(
                 F.explode(F.split(F.col(text_col), " ")).alias("w")
             )
-            .filter(F.col("w").rlike("^[A-Za-z]+$"))
+            # \z, not $: Java's $ matches before a trailing \n (so a
+            # "word\n" token right before a "\n " sequence would slip
+            # through) while RE2's $ is absolute end-of-text — \z makes
+            # the Spark side agree with the DuckDB oracle and the Python
+            # encoder's \Z on exactly such tokens
+            .filter(F.col("w").rlike("^[A-Za-z]+\\z"))
             .select(F.lower(F.col("w")).alias("word"))
         )
     else:

@@ -792,3 +792,27 @@ def test_bpe_train_local_equals_distributed(spark):
     # exhaustion: more merges requested than pairs exist ends cleanly
     tiny = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
     assert len(bpe_train_local(tiny, n_merges=10)) == 1
+
+
+def test_regex_anchors_are_absolute_not_java_dollar(spark):
+    """Java's $ matches before a trailing line terminator; RE2's (the
+    DuckDB oracle) is absolute end-of-text.  The ascii word gate and the
+    C4 line rule must use \\z so both engines agree on tokens like
+    'word\\n' (a ' word\\n ' sequence) and CRLF-split lines ending \\r."""
+    from rs_trafilatura_spark.operators.tokenizer import word_vocab
+    from rs_trafilatura_spark.operators.textstats import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta\n gamma")], ["doc_id", "text"])
+    words = {r["word"] for r in word_vocab(docs, ascii_only=True).collect()}
+    # 'beta\n' is one whitespace-split token; Java $ would admit it
+    assert words == {"alpha", "gamma"}
+
+    crlf = ("Good first sentence here ok.\r\n"
+            "Another proper sentence follows it.\r\n"
+            "And one final sentence to pass!")
+    out = c4_line_filter(
+        spark.createDataFrame([(0, crlf)], ["doc_id", "text"]),
+        min_kept_lines=1).collect()[0]
+    # CRLF lines end with \r after the \n split: Java $ would keep them
+    assert out["n_kept_lines"] == 1  # only the last (no trailing \r) line
