@@ -3459,7 +3459,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS url_kw_hits, "
             "regexp_matches(url, '\\.(js|css|json|xml|rss|atom|jpg|jpeg"
             "|png|gif|webp|svg|ico|mp3|mp4|avi|zip|gz|tar|exe|dmg|apk"
-            "|woff2?)([?#]|$)') AS ext_blocked FROM u) "
+            "|woff2?)([?#]|\\z)') AS ext_blocked FROM u) "
             "SELECT r.host, CAST(r.rank AS BIGINT) AS rank, r.doc_id, "
             "a.url, a.domain_blocked, a.url_kw_hits, a.ext_blocked, "
             "(NOT a.domain_blocked AND a.url_kw_hits = 0 "

@@ -27,10 +27,12 @@ DEFAULT_URL_KEYWORDS: tuple[str, ...] = (
 NON_CONTENT_EXT_RE = (
     # matched at end-of-path OR just before a query/fragment, so
     # '/app.js?v=2' and '/img.png#x' don't bypass the gate.  Consuming
-    # ([?#]|$) group, not a lookahead: the oracle mirror runs under
-    # DuckDB's RE2, which has no lookahead.
+    # ([?#]|\z) group, not a lookahead: the oracle mirror runs under
+    # DuckDB's RE2, which has no lookahead; \z (absolute end, both
+    # engines) rather than $ because Java's $ also matches before a
+    # trailing line terminator where RE2's does not.
     r"\.(js|css|json|xml|rss|atom|jpg|jpeg|png|gif|webp|svg|ico|mp3|mp4"
-    r"|avi|zip|gz|tar|exe|dmg|apk|woff2?)([?#]|$)"
+    r"|avi|zip|gz|tar|exe|dmg|apk|woff2?)([?#]|\z)"
 )
 
 
