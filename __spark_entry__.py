@@ -938,8 +938,24 @@ def q_corpus_datasheet(spark, sf_dir):
                 F.concat("left", F.lit("+"), "right").alias("key"),
                 F.col("pair_n").cast("long").alias("value"))
     )
+    # (r6) the trainer itself, oracle-pinned: 4 BPE merge rounds via the
+    # deployment-shape trainer (one word-count shuffle + local merge
+    # loop); the SQL twin unrolls 4 count->argmax->apply rounds over a
+    # double-delimited symbol string ('|a||b|'), where replace('|l||r|',
+    # '|lr|') is exactly the non-overlapping left-to-right application
+    # (single delimiters would let a merge match a SUFFIX of a longer
+    # symbol — caught on an adversarial corpus before wiring)
+    from rs_trafilatura_spark.operators.tokenizer import bpe_train_local
+
+    merges = bpe_train_local(docs, 4, ascii_only=True)
+    mrows = spark.createDataFrame(
+        [("tokenizer_merges", f"{i + 1}:{left}+{right}", int(n))
+         for i, (left, right, n) in enumerate(merges)],
+        "section string, key string, value long",
+    )
     return (corpus_datasheet(docs).unionByName(stages)
-            .unionByName(guessed).unionByName(topw).unionByName(topp))
+            .unionByName(guessed).unionByName(topw).unionByName(topp)
+            .unionByName(mrows))
 
 
 # planted cross-document duplicate paragraph so paragraph_dedup provably
@@ -2532,6 +2548,42 @@ FROM kept k LEFT JOIN closers c ON k.id = c.c_loser
 """
 
 
+def _bpe_merges_sql(n_merges: int) -> str:
+    """Unrolled SQL twin of ``bpe_train_local``: ``n_merges`` rounds of
+    count-pairs -> tie-broken argmax -> non-overlapping application over a
+    DOUBLE-delimited symbol string ('|a||b||c|').  With both delimiters,
+    replace('|l||r|', '|lr|') can only match whole adjacent symbols —
+    single delimiters would let the pattern match a SUFFIX of a longer
+    symbol (e.g. symbols [ab, ca] vs merge (b, c)); verified equal to the
+    Python trainer on an adversarial suffix-collision corpus."""
+    ctes = [
+        "WITH v AS (SELECT lower(w) AS word, count(*) AS n FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE regexp_matches(w, '^[A-Za-z]+$') GROUP BY lower(w)), "
+        r"s0 AS (SELECT regexp_replace(word, '(.)', '|\1|', 'g') AS s, n "
+        "FROM v)"
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f", p{k} AS (SELECT syms[i] AS l, syms[i + 1] AS r, "
+            "sum(n) AS pn FROM (SELECT string_split(substr(s, 2, "
+            f"len(s) - 2), '||') AS syms, n FROM s{k - 1}) t, "
+            "LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) "
+            "AS i) g WHERE len(syms) >= 2 GROUP BY l, r), "
+            f"m{k} AS (SELECT l, r, pn FROM p{k} "
+            "ORDER BY pn DESC, l ASC, r ASC LIMIT 1), "
+            f"s{k} AS (SELECT replace(s, "
+            f"(SELECT '|' || l || '||' || r || '|' FROM m{k}), "
+            f"(SELECT '|' || l || r || '|' FROM m{k})) AS s, n "
+            f"FROM s{k - 1})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS rank, l, r, pn FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(ctes) + " " + sel
+
+
 def _lang_guess_case() -> str:
     """The priority-ordered argmax CASE (no alias), generated from the
     same LANG_PRIORITY/STOPWORDS tables as the operator."""
@@ -3267,6 +3319,9 @@ def oracle_sql() -> dict[str, str]:
             "AS i) s WHERE len(word) >= 2 "
             "GROUP BY lft, rgt ORDER BY pair_n DESC, lft ASC, rgt ASC "
             "LIMIT 20)"
+            + " UNION ALL SELECT 'tokenizer_merges' AS section, "
+            "CAST(rank AS VARCHAR) || ':' || l || '+' || r AS key, "
+            "CAST(pn AS BIGINT) AS value FROM (" + _bpe_merges_sql(4) + ") mq"
         ),
         "minhash_lsh_pairs": (
             # all-pairs exact shingle-set Jaccard; the Spark side must find

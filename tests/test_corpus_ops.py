@@ -816,3 +816,32 @@ def test_regex_anchors_are_absolute_not_java_dollar(spark):
         min_kept_lines=1).collect()[0]
     # CRLF lines end with \r after the \n split: Java $ would keep them
     assert out["n_kept_lines"] == 1  # only the last (no trailing \r) line
+
+
+def test_bpe_sql_twin_matches_trainer_on_suffix_collisions(spark):
+    """The driver oracle's unrolled SQL BPE (double-delimited symbol
+    strings) must equal bpe_train_local even when a chosen merge's left
+    symbol is a SUFFIX of another symbol — the case where a single-
+    delimiter replace would corrupt the symbol table."""
+    import duckdb
+
+    from __spark_entry__ import _bpe_merges_sql
+    from rs_trafilatura_spark.operators.tokenizer import bpe_train_local
+
+    texts = ["xab xab xab xab xab bc bc bc abca abca",
+             "ab ab cab cab bca bca"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    want = bpe_train_local(docs, 6, ascii_only=True)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got = [(l, r, int(pn)) for _rank, l, r, pn in
+           con.sql(_bpe_merges_sql(6) + " ORDER BY rank").fetchall()]
+    assert got == want
+    # sanity: the corpus actually exercises the collision (a multi-char
+    # symbol ending with a later merge's left symbol exists)
+    assert ("b", "c") in {(l, r) for l, r, _ in want}
+    assert any(len(l) > 1 and l.endswith("b") for l, _r, _n in want)
