@@ -14,13 +14,17 @@ Spark-first shapes:
 - ``char_pair_counts``: pure Catalyst — posexplode over character
   positions, no UDF; this is BPE round 1 exactly, and the SQL-mirrorable
   primitive the driver oracle pins.
-- ``bpe_train``: k rounds of count-pairs -> argmax -> apply-merge.  Pair
-  counting explodes the symbol arrays of the VOCAB (|V| rows, corpus-
-  independent); application is an Arrow-batched pass over the same |V|
-  rows.  One O(1) argmax row reaches the driver per round — the driver
-  never sees the vocabulary itself.  (Production tokenizers train on a
-  corpus sample; the point here is that nothing in the loop scales with
-  corpus size once the vocab table exists.)
+- ``bpe_train``: k rounds of count-pairs -> argmax -> apply-merge, all
+  pure Catalyst: the symbol table is a space-double-delimited string
+  (' a  b  c '), pair counting splits it (|V| rows, corpus-independent)
+  and application is a literal whole-symbol replace — no UDF anywhere in
+  the loop.  One O(1) argmax row reaches the driver per round — the
+  driver never sees the vocabulary itself.  (Production tokenizers train
+  on a corpus sample; the point here is that nothing in the loop scales
+  with corpus size once the vocab table exists.)
+- ``bpe_train_local``: same merges, deployment execution split — one
+  word-count shuffle, then the merge loop runs driver-side over the
+  collected vocab.
 
 Determinism: ties in pair counts break on the pair's string form
 (count DESC, left ASC, right ASC) — fixed across engines and runs.
@@ -95,11 +99,15 @@ def char_pair_counts(vocab: DataFrame) -> DataFrame:
 
 
 def _sym_pair_counts(symtab: DataFrame) -> DataFrame:
-    """Adjacent SYMBOL pairs over (syms array<string>, n) rows — the
-    round >= 2 generalization of char_pair_counts (symbols may be
-    multi-character after merges)."""
+    """Adjacent SYMBOL pairs over (s: space-double-delimited symbol
+    string ' a  b  c ', n) rows — the round >= 2 generalization of
+    char_pair_counts (symbols may be multi-character after merges)."""
+    syms = F.split(
+        F.substring(F.col("s"), 2, F.length("s") - 2), "  "
+    )
     return (
-        symtab.filter(F.size("syms") >= 2)
+        symtab.select(syms.alias("syms"), "n")
+        .filter(F.size("syms") >= 2)
         .select(
             "n",
             F.explode(
@@ -117,31 +125,19 @@ def _sym_pair_counts(symtab: DataFrame) -> DataFrame:
 
 def _apply_merge(symtab: DataFrame, left: str, right: str) -> DataFrame:
     """Replace every non-overlapping left-to-right (left, right) adjacency
-    with the merged symbol — the BPE application step, Arrow-batched over
-    the |V|-row symbol table."""
-    from pyspark.sql import types as T
-
-    merged = left + right
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def merge(syms: pd.Series) -> pd.Series:
-        out = []
-        for s in syms:
-            s = list(s)
-            res = []
-            i = 0
-            n = len(s)
-            while i < n:
-                if i + 1 < n and s[i] == left and s[i + 1] == right:
-                    res.append(merged)
-                    i += 2
-                else:
-                    res.append(s[i])
-                    i += 1
-            out.append(res)
-        return pd.Series(out)
-
-    return symtab.withColumn("syms", merge(F.col("syms")))
+    with the merged symbol — pure Catalyst: on the double-delimited form,
+    literal replace(' l  r ', ' lr ') can only match whole adjacent
+    symbols (both ends delimiter-anchored; the SQL oracle twin uses the
+    identical trick with '|'), and str-replace IS non-overlapping
+    left-to-right.  No UDF, no Arrow round-trip in the merge loop."""
+    return symtab.withColumn(
+        "s",
+        F.replace(
+            F.col("s"),
+            F.lit(f" {left}  {right} "),
+            F.lit(f" {left}{right} "),
+        ),
+    )
 
 
 def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
@@ -149,13 +145,13 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text",
     """Train ``n_merges`` BPE merges; returns [(left, right, pair_n)] in
     merge order.  Tie-break: pair_n DESC, left ASC, right ASC."""
     vocab = word_vocab(docs, text_col=text_col, ascii_only=ascii_only)
-    # Spark's split keeps trailing empty strings (limit=-1 default), so
-    # "(?!^)" yields a phantom "" symbol after the last char — drop it.
+    # double-delimited symbol string: each char wrapped in the delimiter,
+    # 'abc' -> ' a  b  c '.  The delimiter is a SPACE, which provably
+    # cannot occur inside any word in either mode (words come from
+    # split(text, ' ')), so replace(' l  r ', ' lr ') can only ever match
+    # whole adjacent symbols.
     symtab = vocab.select(
-        F.filter(
-            F.split(F.col("word"), "(?!^)"), lambda s: s != ""
-        ).alias("syms"),
-        "n",
+        F.regexp_replace(F.col("word"), "(.)", r" $1 ").alias("s"), "n"
     )
     # the vocab table is reused every round: materialize it once
     symtab = symtab.localCheckpoint(eager=True)

@@ -224,3 +224,13 @@ def test_tokenizer_plan_shapes(spark):
     eplan = _plan(bpe_encode(docs, [("t", "h", 100), ("th", "e", 90)]))
     assert "exchange" not in eplan.lower()
     assert "mapinpandas" in eplan.lower().replace(" ", "")
+
+    # the distributed trainer's merge loop is pure Catalyst: pair counts
+    # + whole-symbol replace over the delimited string, no Python eval
+    from rs_trafilatura_spark.operators.tokenizer import (
+        _apply_merge, _sym_pair_counts,
+    )
+    symtab = spark.createDataFrame([(" t  h  e ", 5)], ["s", "n"])
+    loop_plan = _plan(_sym_pair_counts(_apply_merge(symtab, "t", "h")))
+    low = loop_plan.lower().replace(" ", "")
+    assert "python" not in low and "pandas" not in low and "arrow" not in low
