@@ -51,6 +51,8 @@ def pretraining_pipeline(
     semdedup_threshold_x1000: int = 950,
     semdedup_cells: int = 16,
     ccnet_keep: Optional[tuple[str, ...]] = None,
+    quality_model=None,
+    quality_pareto_alpha: int = 9,
     dsir_target: Optional[DataFrame] = None,
     dsir_top_frac_x100: int = 50,
     min_quality: float = 0.5,
@@ -228,6 +230,21 @@ def pretraining_pipeline(
             "doc_id",
         ))
         _record("after_ccnet_buckets", corpus.count())
+
+    if quality_model is not None:
+        # GPT-3 App. A classifier gate: score (one map pass, model rides
+        # the plan) then the deterministic Pareto keep rule — map-only,
+        # no shuffle; gated like every stage so downstream gates read
+        # materialized rows instead of re-running the transform
+        from ..operators.quality_classifier import (
+            pareto_quality_filter, score_quality,
+        )
+
+        corpus = _gate(pareto_quality_filter(
+            score_quality(corpus, quality_model),
+            key_col="url", alpha=quality_pareto_alpha,
+        ).drop("quality_score"))
+        _record("after_quality_classifier", corpus.count())
 
     if dsir_target is not None:
         from ..operators.dsir import (
