@@ -74,10 +74,10 @@ def score_quality(docs: DataFrame, model,
     columns are dropped."""
     from pyspark.ml.functions import vector_to_array
 
-    inp = docs.withColumn("text", F.col(text_col)) if text_col != "text" \
-        else docs
+    tmp = text_col != "text"
+    inp = docs.withColumn("text", F.col(text_col)) if tmp else docs
     scored = model.transform(inp)
-    return scored.withColumn(
+    out = scored.withColumn(
         score_col,
         vector_to_array(F.col(model.stages[-1].getProbabilityCol()))
         .getItem(1),
@@ -85,6 +85,19 @@ def score_quality(docs: DataFrame, model,
            model.stages[-1].getRawPredictionCol(),
            model.stages[-1].getProbabilityCol(),
            model.stages[-1].getPredictionCol())
+    return out.drop("text") if tmp else out
+
+
+def save_quality_classifier(model, path: str) -> None:
+    """Persist the fitted pipeline (train once, score every corpus
+    version — the deployment split)."""
+    model.write().overwrite().save(path)
+
+
+def load_quality_classifier(path: str):
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)
 
 
 def pareto_keep_col(key_col: str = "doc_id", alpha: int = 9,

@@ -98,3 +98,27 @@ def test_pipeline_quality_classifier_stage(spark):
         assert out["corpus"].count() == report["after_quality_classifier"]
     finally:
         out["release"]()
+
+
+def test_model_roundtrip_and_custom_text_col(spark, tmp_path):
+    from rs_trafilatura_spark.operators.quality_classifier import (
+        load_quality_classifier, save_quality_classifier, score_quality,
+    )
+
+    m = _model(spark)
+    path = str(tmp_path / "qc_model")
+    save_quality_classifier(m, path)
+    m2 = load_quality_classifier(path)
+
+    docs = spark.createDataFrame(
+        [(1, "careful analysis of the documentary evidence"),
+         (2, "casino bonus lottery click here")],
+        ["doc_id", "content_text"])
+    s1 = {r["doc_id"]: r["quality_score"] for r in
+          score_quality(docs, m, text_col="content_text").collect()}
+    s2 = {r["doc_id"]: r["quality_score"] for r in
+          score_quality(docs, m2, text_col="content_text").collect()}
+    assert s1 == s2
+    # temp text column must not leak
+    assert set(score_quality(docs, m, text_col="content_text").columns) \
+        == {"doc_id", "content_text", "quality_score"}
