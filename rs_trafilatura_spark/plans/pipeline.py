@@ -78,6 +78,10 @@ def pretraining_pipeline(
     - ``stage_seconds``: {stage: wall seconds} — each report count is a
       forced materialization, so the gap between counts IS that stage's
       cost (the first entry also carries Spark/session warmup),
+    - ``quality_model`` (a fitted pipeline from
+      ``operators.quality_classifier.train_quality_classifier``) enables
+      the GPT-3 App. A classifier gate: score + deterministic Pareto
+      keep rule (``quality_pareto_alpha``), audited like every stage,
     - ``n_tokens`` is a whitespace word count by default; pass
       ``tokenizer_merges`` (a trained BPE merge list from
       ``operators.tokenizer.bpe_train``) to bill documents in exact
