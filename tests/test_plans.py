@@ -234,3 +234,24 @@ def test_tokenizer_plan_shapes(spark):
     loop_plan = _plan(_sym_pair_counts(_apply_merge(symtab, "t", "h")))
     low = loop_plan.lower().replace(" ", "")
     assert "python" not in low and "pandas" not in low and "arrow" not in low
+
+
+def test_quality_scoring_is_map_only(spark):
+    """score_quality + the Pareto gate must add ZERO exchanges: at 100 TB
+    the classifier pass rides the existing scan — any shuffle here would
+    re-partition the full text corpus for a per-row scalar."""
+    from rs_trafilatura_spark.operators.quality_classifier import (
+        pareto_quality_filter, score_quality, train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame([(i, "good words here") for i in range(10)],
+                                ["doc_id", "text"])
+    neg = spark.createDataFrame([(i, "bad spam junk") for i in range(10)],
+                                ["doc_id", "text"])
+    m = train_quality_classifier(pos, neg, num_features=64, max_iter=5)
+    docs = spark.createDataFrame(
+        [(i, f"u{i}", "some words") for i in range(20)],
+        ["doc_id", "url", "text"])
+    plan = _plan(pareto_quality_filter(score_quality(docs, m),
+                                       key_col="url"))
+    assert "exchange" not in plan.lower()
