@@ -122,3 +122,43 @@ def test_model_roundtrip_and_custom_text_col(spark, tmp_path):
     # temp text column must not leak
     assert set(score_quality(docs, m, text_col="content_text").columns) \
         == {"doc_id", "content_text", "quality_score"}
+
+
+def test_quality_scoring_composes_with_streaming(spark, tmp_path):
+    """score_quality + the Pareto gate are stateless map transforms, so
+    they compose onto the streaming extraction unchanged — the shape a
+    live-crawl deployment would run (extract -> score -> gate -> sink)."""
+    from rs_trafilatura_spark.datagen import generate_pages_df
+    from rs_trafilatura_spark.operators.quality_classifier import (
+        pareto_keep_col, score_quality,
+    )
+    from rs_trafilatura_spark.streaming.pipeline import (
+        extraction_stream, read_pages_stream,
+    )
+
+    path = str(tmp_path / "pages")
+    generate_pages_df(spark, 30).write.parquet(path)
+    m = _model(spark)
+
+    stream = extraction_stream(read_pages_stream(spark, path))
+    scored = score_quality(
+        stream.filter(F.col("content_text").isNotNull()),
+        m, text_col="content_text",
+    ).withColumn("kept", pareto_keep_col(key_col="url"))
+    q = (scored.writeStream.outputMode("append")
+         .format("memory").queryName("qc_stream")
+         .trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM qc_stream")
+    assert out.count() > 0
+    assert out.filter("quality_score < 0 OR quality_score > 1").count() == 0
+    # batch and stream agree document-by-document (fresh lineage to
+    # avoid a self-join on the memory sink's attributes)
+    rows = out.select("url", "content_text", "quality_score").collect()
+    fresh = spark.createDataFrame(
+        [(r["url"], r["content_text"]) for r in rows],
+        ["url", "content_text"])
+    batch = {r["url"]: r["quality_score"] for r in score_quality(
+        fresh, m, text_col="content_text").collect()}
+    assert all(batch[r["url"]] == r["quality_score"] for r in rows)
