@@ -63,6 +63,15 @@ def main() -> None:
     ap.add_argument("--split", default=None,
                     help="leakage-safe url-keyed split column, e.g. "
                          "train:98,val:1,test:1 (percents sum to 100)")
+    ap.add_argument("--quality-model", default=None,
+                    help="path of a saved quality-classifier PipelineModel "
+                         "(operators.quality_classifier); enables the "
+                         "GPT-3 App. A score + Pareto keep gate")
+    ap.add_argument("--quality-pareto-alpha", type=int, default=9)
+    ap.add_argument("--tokenizer-merges", default=None,
+                    help="path of a parquet merge table (rank,left,right,"
+                         "pair_n) from bpe_train*; bills n_tokens in exact "
+                         "BPE tokens for packing/shards/datasheet")
     ap.add_argument("--datasheet", action="store_true",
                     help="write the release datasheet (section,key,value) "
                          "to <output>/datasheet")
@@ -102,6 +111,17 @@ def main() -> None:
         shard_budget_tokens=args.shard_tokens,
         shard_out_dir=(os.path.join(args.output, "shards")
                        if args.shard_tokens else None),
+        quality_model=(
+            __import__("rs_trafilatura_spark.operators.quality_classifier",
+                       fromlist=["load_quality_classifier"])
+            .load_quality_classifier(args.quality_model)
+            if args.quality_model else None),
+        quality_pareto_alpha=args.quality_pareto_alpha,
+        tokenizer_merges=(
+            [(r["left"], r["right"], r["pair_n"]) for r in
+             spark.read.parquet(args.tokenizer_merges)
+             .orderBy("rank").collect()]
+            if args.tokenizer_merges else None),
         datasheet=args.datasheet,
         split_weights_x100=(
             tuple((n, int(p)) for n, p in
