@@ -2344,8 +2344,11 @@ def _page_type_features_sql() -> str:
     body word stream), f75-f78 (category word ratios over the body words
     — the merged first/last words can never match a list word, so the
     countable words are text words 2..n-1 and the denominator is n+2),
-    f65 (currency chars) and f84 (product-count regex on the merged
-    body)."""
+    f65 (currency chars), f84 (product-count regex on the merged
+    body), and f10 (date-in-slug heuristic: _BLOG_SLUG_RE's -20\\d{2}
+    alternative fires on doc ids 2000-2099 at sf>=0.1, so the slot is
+    URL-dependent, not template-constant — recomputed with the same
+    pattern, which is RE2-safe)."""
     from rs_trafilatura_spark.kernel.ml_features import (
         _COMMERCIAL, _CONTENT_W, _FORUM_W, _TECH_W,
     )
@@ -2372,7 +2375,11 @@ WITH w AS (
     CASE WHEN regexp_matches('home blog' || lower(text) ||
       chr(169) || ' docs.example',
       'showing\\s+\\d+|\\b\\d+\\s+(results|items|products)\\b')
-      THEN 1000 ELSE 0 END AS c84
+      THEN 1000 ELSE 0 END AS c84,
+    CASE WHEN regexp_matches(
+      'https://docs.example/blog/doc-' || doc_id,
+      '/\\d{{4}}/\\d{{2}}/|/20\\d{{2}}-|-20\\d{{2}}')
+      THEN 1000 ELSE 0 END AS c10
   FROM mids
 )
 SELECT 'https://docs.example/blog/doc-' || doc_id AS url,
@@ -2387,7 +2394,7 @@ SELECT 'https://docs.example/blog/doc-' || doc_id AS url,
   + CAST(floor(1000 * (c76 * 1.0 / T)) AS BIGINT)
   + CAST(floor(1000 * (c77 * 1.0 / T)) AS BIGINT)
   + CAST(floor(1000 * (c78 * 1.0 / T)) AS BIGINT)
-  + 1000 * c65 + c84 AS checksum_x1000
+  + 1000 * c65 + c84 + c10 AS checksum_x1000
 FROM counted
 """
 
