@@ -42,6 +42,42 @@ def test_minhash_deterministic_across_runs(docs):
     assert a == b
 
 
+def test_minhash_agreement_unbiased_on_containment_pairs():
+    """Slot agreement must track true Jaccard on A-subset-of-B shaped
+    pairs (doc vs doc+tail — the planted-near-duplicate shape).  The
+    pre-r6 affine family ((a*h+b) mod 2^61-1 over 32-bit crc32 shingle
+    hashes, a~2^33 wrapping uint64) was piecewise-monotone rather than
+    min-wise independent and ran ~4 sigma LOW here, pushing true J~0.80
+    pairs under lsh_near_dup_pairs' tier-1 estimate floor (observed at
+    sf0.1: agreement 37-38/64 where 51/64 was expected).  Bound: the
+    mean of (agreement - J) over 120 random containment pairs must sit
+    within 4 standard errors of zero, and no floor-escape regression:
+    mean agreement at J~0.8 stays above 0.75."""
+    import random
+    import statistics
+
+    from rs_trafilatura_spark.operators.dedup import (
+        N_HASHES, _minhash_signature, _shingle_hashes64)
+
+    rng = random.Random(1729)
+    diffs, agrees = [], []
+    for _ in range(120):
+        base = " ".join(
+            "w%d" % rng.randrange(50_000) for _ in range(45))
+        tail = " ".join("t%d" % rng.randrange(10**9) for _ in range(9))
+        a, b = base, base + " " + tail
+        sa, sb = _minhash_signature(a), _minhash_signature(b)
+        ha, hb = set(_shingle_hashes64(a)), set(_shingle_hashes64(b))
+        j = len(ha & hb) / len(ha | hb)
+        agree = sum(1 for x, y in zip(sa, sb) if x == y) / N_HASHES
+        diffs.append(agree - j)
+        agrees.append(agree)
+    mean = statistics.mean(diffs)
+    sem = statistics.stdev(diffs) / len(diffs) ** 0.5
+    assert abs(mean) < 4 * sem + 1e-9, (mean, sem)
+    assert statistics.mean(agrees) > 0.75
+
+
 def test_simhash_near_dups(docs):
     from rs_trafilatura_spark.operators.dedup import simhash_fingerprints
 
