@@ -45,7 +45,8 @@ def _probe_indices(md5_hex, num_bits: int, k: int) -> np.ndarray:
 
 
 def build_bloom(docs: DataFrame, num_bits: int = DEFAULT_NUM_BITS,
-                k: int = DEFAULT_K) -> bytes:
+                k: int = DEFAULT_K,
+                tree_fanin: int | None = None) -> bytes:
     """Distributed Bloom build over md5(text): ONE bitset per task —
     allocated before the Arrow-batch loop, every batch ORed into it,
     yielded exactly once when the partition is exhausted — so the driver
@@ -54,17 +55,58 @@ def build_bloom(docs: DataFrame, num_bits: int = DEFAULT_NUM_BITS,
     per BATCH: at 10k-row Arrow batches that made the collect ~250x
     larger, fatal at the 2^33-bit sizing below.)
 
-    Scale rungs by filter size m: at m = 2^23 (1 MiB/part) this collect
-    is nothing; at m ≥ 2^30 (128 MiB/part) run the build on a coalesced
-    handful of partitions or tree-reduce — pairwise-OR the per-task
-    bitsets through an intermediate groupBy(part_id % fanin) round so no
-    single collect exceeds fanin x m/8 bytes — before the final driver
-    OR; the serialized result still broadcasts once."""
-    parts = _task_bitsets(docs, num_bits, k).collect()
+    Scale rungs by filter size m: at m = 2^23 (1 MiB/part) the direct
+    collect is nothing.  At m ≥ 2^30 (128 MiB/part) pass ``tree_fanin``
+    (e.g. 8): per-task bitsets are OR-reduced through
+    groupBy(row_id % n_groups) rounds — each reducer task materializes at
+    most fanin x m/8 bytes, each round shrinks the row count by fanin,
+    and the final driver collect is ≤ fanin bitsets instead of one per
+    input partition.  Output is byte-identical to the direct build (OR is
+    associative/commutative); the serialized result still broadcasts
+    once."""
+    parts = _task_bitsets(docs, num_bits, k)
+    if tree_fanin is not None and tree_fanin > 1:
+        parts = _tree_or(parts, num_bits,
+                         n_rows=docs.rdd.getNumPartitions(),
+                         fanin=tree_fanin)
     acc = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
-    for row in parts:
+    for row in parts.collect():
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)
     return acc.tobytes()
+
+
+def _tree_or(parts: DataFrame, num_bits: int, n_rows: int,
+             fanin: int) -> DataFrame:
+    """OR-reduce a (bits binary) frame in rounds of ``fanin`` until at
+    most ``fanin`` rows remain.  Each round groups by an EXACT unique row
+    id modulo the round's group count — the first round's id is
+    spark_partition_id() (one row per task by _task_bitsets' contract),
+    and each round emits its group key as the next round's id — so group
+    sizes are provably ≤ fanin and every reducer materializes at most
+    fanin x num_bits/8 bytes.  (monotonically_increasing_id would NOT do:
+    its (partition << 33 | row) ids collide modulo small group counts and
+    can silently overfill a group.)"""
+    import math
+
+    import pandas as pd
+
+    def or_group(key, pdf):
+        acc = np.zeros((num_bits + 7) // 8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"_id": [int(key[0])], "bits": [acc.tobytes()]})
+
+    tagged = parts.withColumn("_id", F.spark_partition_id().cast("long"))
+    while n_rows > fanin:
+        n_groups = math.ceil(n_rows / fanin)
+        tagged = (
+            tagged
+            .withColumn("_g", F.col("_id") % n_groups)
+            .groupBy("_g")
+            .applyInPandas(or_group, "_id long, bits binary")
+        )
+        n_rows = n_groups
+    return tagged.select("bits")
 
 
 def _task_bitsets(docs: DataFrame, num_bits: int, k: int) -> DataFrame:

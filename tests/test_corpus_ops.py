@@ -476,6 +476,26 @@ def test_bloom_one_bitset_row_per_task(spark):
             spark.conf.unset(key)
 
 
+def test_bloom_tree_reduce_matches_direct(spark):
+    """tree_fanin build must be byte-identical to the direct build (OR is
+    associative/commutative) while reducing 8 task bitsets through
+    8 -> 3 -> 1 rounds at fanin=3 — the m >= 2^30 driver-collect rung."""
+    from rs_trafilatura_spark.operators.bloom import (
+        _task_bitsets, _tree_or, build_bloom,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tree doc {i}") for i in range(400)],
+        ["doc_id", "text"]).repartition(8)
+    direct = build_bloom(docs, 1 << 16, 2)
+    treed = build_bloom(docs, 1 << 16, 2, tree_fanin=3)
+    assert treed == direct
+    # the reduced frame itself holds <= fanin rows (the collect bound)
+    reduced = _tree_or(_task_bitsets(docs, 1 << 16, 2), 1 << 16,
+                       n_rows=8, fanin=3)
+    assert reduced.count() <= 3
+
+
 def test_bloom_bitset_properties():
     """No false negatives by construction; a fresh hash misses (fill
     factor ~1e-4 => false-hit probability ~1e-16 at k=4)."""
