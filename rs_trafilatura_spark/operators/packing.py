@@ -356,3 +356,42 @@ def split_corpus(documents: DataFrame,
         expr = branch(gate < cum, F.lit(name))
     expr = expr.otherwise(F.lit(weights_x100[-1][0]))
     return documents.withColumn("split", expr)
+
+
+# floor(xxhash64 / 2^44) yields ~2^20 uniformly-filled buckets over the
+# signed 64-bit hash range — the pack_* driver collect stays O(2^20)
+# longs no matter the corpus size.  The DEFAULT pack_* bucket_width
+# (1 << 20) assumes a DENSE order key (doc ids); feeding it a raw hash
+# would make every document its own bucket and the offsets collect O(n).
+HASH_ORDER_BUCKET_WIDTH = 1 << 44
+
+
+def shuffle_corpus(documents: DataFrame, seed: int = 0,
+                   key_col: str = "url",
+                   order_col: str = "shuffle_order",
+                   materialize: bool = False) -> DataFrame:
+    """Deterministic global training-order shuffle: adds a total-order
+    column ``xxhash64(key, seed)``.  Published LM pipelines randomize
+    example order between curation and packing (dedup sorts related
+    documents together; training on that order skews early batches) —
+    a keyed hash gives a pseudo-random permutation that is REPRODUCIBLE
+    across runs, cluster sizes, and partitioning changes, the property
+    RNG-per-partition shuffles lose, and re-seeding permutes afresh for
+    a new epoch/experiment.
+
+    Map-only by default: packing (``pack_shards`` / ``pack_sequences``)
+    consumes the ORDER COLUMN, not physical row order — pass
+    ``order_col=<this column>, bucket_width=HASH_ORDER_BUCKET_WIDTH``
+    so the distributed prefix sum buckets the full signed-64-bit hash
+    range instead of treating it as dense doc ids.  With
+    ``materialize=True`` the frame is additionally
+    repartitionByRange + sortWithinPartitions on the order column (ONE
+    range shuffle, no single-task global sort; xxhash64 is uniform so
+    range partitions are balanced) — the shape for writers that emit
+    physical row order directly."""
+    out = documents.withColumn(
+        order_col, F.xxhash64(F.col(key_col), F.lit(seed)))
+    if materialize:
+        out = (out.repartitionByRange(F.col(order_col))
+                  .sortWithinPartitions(order_col))
+    return out

@@ -449,6 +449,58 @@ def test_pack_shards_matches_naive_cumsum(spark):
         cum += n
 
 
+def test_shuffle_corpus_order_and_packing_composition(spark):
+    """shuffle_corpus is reproducible (same seed -> same order; new seed
+    -> new permutation), and composes with pack_shards via
+    HASH_ORDER_BUCKET_WIDTH: shard assignment over the hash order equals
+    a local greedy cumsum over documents sorted by the same hash —
+    including negative hash values / negative prefix-sum buckets."""
+    from rs_trafilatura_spark.operators.packing import (
+        HASH_ORDER_BUCKET_WIDTH, pack_shards, shuffle_corpus,
+    )
+
+    rows = [(i, f"https://ex.example/d{i}",
+             " ".join(["w"] * (10 + (i * 7) % 23))) for i in range(120)]
+    docs = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    sh = shuffle_corpus(docs, seed=3)
+    order1 = {r["doc_id"]: r["shuffle_order"] for r in sh.collect()}
+    order2 = {r["doc_id"]: r["shuffle_order"]
+              for r in shuffle_corpus(docs, seed=3).collect()}
+    assert order1 == order2
+    order_other = {r["doc_id"]: r["shuffle_order"]
+                   for r in shuffle_corpus(docs, seed=4).collect()}
+    assert order1 != order_other
+    assert any(v < 0 for v in order1.values())  # signed range exercised
+
+    packed = {r["doc_id"]: r["shard_id"]
+              for r in pack_shards(
+                  sh, budget_tokens=100, order_col="shuffle_order",
+                  bucket_width=HASH_ORDER_BUCKET_WIDTH).collect()}
+    cum = 0
+    for i in sorted(range(120), key=order1.__getitem__):
+        n = 10 + (i * 7) % 23
+        assert packed[i] == cum // 100, (i, packed[i], cum // 100)
+        cum += n
+
+
+def test_shuffle_corpus_materialize_range_ordered(spark):
+    """materialize=True yields range-disjoint, within-partition-sorted
+    physical order (per-partition [min,max] ranges do not overlap)."""
+    from pyspark.sql import functions as F
+    from rs_trafilatura_spark.operators.packing import shuffle_corpus
+
+    rows = [(i, f"https://ex.example/m{i}", "t") for i in range(500)]
+    docs = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    sh = shuffle_corpus(docs, seed=1, materialize=True)
+    parts = (sh.withColumn("_p", F.spark_partition_id())
+               .groupBy("_p")
+               .agg(F.min("shuffle_order").alias("lo"),
+                    F.max("shuffle_order").alias("hi"))
+               .orderBy("lo").collect())
+    for a, b in zip(parts, parts[1:]):
+        assert a["hi"] <= b["lo"]
+
+
 def test_pack_shards_bucket_width_invariance(spark):
     # the distributed prefix sum must be invariant to how it is bucketed
     from rs_trafilatura_spark.operators.packing import pack_shards
