@@ -61,6 +61,7 @@ def pretraining_pipeline(
     max_pages_per_host: Optional[int] = None,
     mixture_alpha_x100: Optional[int] = None,
     seq_len: Optional[int] = None,
+    shuffle_seed: Optional[int] = None,
     tokenizer_merges: Optional[list] = None,
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
@@ -89,7 +90,10 @@ def pretraining_pipeline(
       datasheet then all use real training tokens,
     - ``sequences``: pack_sequences assignment (when ``seq_len``; with
       ``split_weights_x100`` set, packed per split and carrying a
-      ``split`` column — (split, seq_id) is then the key),
+      ``split`` column — (split, seq_id) is then the key; with
+      ``shuffle_seed`` set, sequences and shards pack in seeded-hash
+      training order (operators.packing.shuffle_corpus) instead of
+      doc-id order — reproducible order randomization per epoch seed),
     - ``shard_manifest``: written-shard manifest rows (when
       ``shard_out_dir``; requires ``shard_budget_tokens``; with splits,
       one sub-directory per split and a ``split`` field per row),
@@ -341,13 +345,28 @@ def pretraining_pipeline(
     split_names = ([name for name, _ in split_weights_x100]
                    if split_weights_x100 is not None else None)
 
+    # ``shuffle_seed`` randomizes training order before packing (dedup
+    # leaves related documents adjacent in id order); the seeded hash
+    # order is reproducible across runs and cluster sizes.  Applied to a
+    # packing-local frame so out["corpus"]'s column contract is unchanged.
+    pack_corpus = corpus
+    pack_kw: dict = {}
+    if shuffle_seed is not None:
+        from ..operators.packing import (
+            HASH_ORDER_BUCKET_WIDTH, shuffle_corpus,
+        )
+
+        pack_corpus = shuffle_corpus(corpus, seed=shuffle_seed)
+        pack_kw = {"order_col": "shuffle_order",
+                   "bucket_width": HASH_ORDER_BUCKET_WIDTH}
+
     if seq_len is not None:
         from ..operators.packing import pack_sequences
 
         if split_names is not None:
             parts = [
-                pack_sequences(corpus.filter(F.col("split") == s),
-                               seq_len=seq_len)
+                pack_sequences(pack_corpus.filter(F.col("split") == s),
+                               seq_len=seq_len, **pack_kw)
                 .withColumn("split", F.lit(s))
                 for s in split_names
             ]
@@ -356,7 +375,8 @@ def pretraining_pipeline(
                 seqs = seqs.unionByName(p)
             out["sequences"] = seqs  # (split, seq_id) is the key
         else:
-            out["sequences"] = pack_sequences(corpus, seq_len=seq_len)
+            out["sequences"] = pack_sequences(pack_corpus, seq_len=seq_len,
+                                              **pack_kw)
 
     if shard_out_dir is not None:
         if shard_budget_tokens is None:
@@ -369,16 +389,18 @@ def pretraining_pipeline(
             manifest = []
             for s in split_names:
                 packed = pack_shards(
-                    corpus.filter(F.col("split") == s),
-                    budget_tokens=shard_budget_tokens, carry=("text",))
+                    pack_corpus.filter(F.col("split") == s),
+                    budget_tokens=shard_budget_tokens, carry=("text",),
+                    **pack_kw)
                 manifest.extend(
                     write_shards(packed,
                                  os.path.join(shard_out_dir, f"split={s}"))
                     .withColumn("split", F.lit(s)).collect())
             out["shard_manifest"] = manifest
         else:
-            packed = pack_shards(corpus, budget_tokens=shard_budget_tokens,
-                                 carry=("text",))
+            packed = pack_shards(pack_corpus,
+                                 budget_tokens=shard_budget_tokens,
+                                 carry=("text",), **pack_kw)
             out["shard_manifest"] = write_shards(packed,
                                                  shard_out_dir).collect()
         _record("shards_written", len(out["shard_manifest"]))

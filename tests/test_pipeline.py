@@ -316,3 +316,48 @@ def test_pipeline_bpe_token_billing(spark):
         assert seqs.agg(F.sum("n_tokens")).collect()[0][0] == total
     finally:
         out["release"]()
+
+
+def test_pipeline_shuffle_seed_reorders_packing(spark):
+    """shuffle_seed packs in seeded-hash order: same seed reproduces the
+    identical sequence assignment, a different seed permutes it, and the
+    token accounting (every corpus token exactly once, full sequences
+    exactly seq_len) holds in shuffled order too."""
+    from pyspark.sql import functions as F
+    from rs_trafilatura_spark.datagen.corpus import generate_pages_df
+    from rs_trafilatura_spark.options import Options
+    from rs_trafilatura_spark.plans.pipeline import pretraining_pipeline
+
+    pages = generate_pages_df(spark, n_rows=60)
+
+    def run(**kw):
+        out = pretraining_pipeline(spark, pages, Options(),
+                                   seq_len=64, **kw)
+        try:
+            seqs = sorted(map(tuple, out["sequences"].collect()))
+            corpus_tokens = out["corpus"].agg(
+                F.sum("n_tokens")).collect()[0][0]
+            # corpus column contract unchanged by the shuffle stage
+            assert "shuffle_order" not in out["corpus"].columns
+        finally:
+            out["release"]()
+        return seqs, corpus_tokens
+
+    plain, total = run()
+    s7a, total7 = run(shuffle_seed=7)
+    s7b, _ = run(shuffle_seed=7)
+    s8, _ = run(shuffle_seed=8)
+    assert total7 == total
+    assert s7a == s7b
+    assert s7a != plain and s7a != s8
+    # token conservation in shuffled order
+    by_seq: dict = {}
+    tok_sum = 0
+    for row in s7a:
+        d = dict(zip(("seq_id", "doc_id", "doc_off", "seq_off", "n_tokens"),
+                     row))
+        by_seq[d["seq_id"]] = by_seq.get(d["seq_id"], 0) + d["n_tokens"]
+        tok_sum += d["n_tokens"]
+    assert tok_sum == total
+    last = max(by_seq)
+    assert all(v == 64 for k, v in by_seq.items() if k != last)
