@@ -59,6 +59,8 @@ def main() -> None:
     ap.add_argument("--mixture-alpha", type=int, default=None,
                     help="alpha_x100 for mixture downsampling (0-100)")
     ap.add_argument("--seq-len", type=int, default=None)
+    ap.add_argument("--shuffle-seed", type=int, default=None,
+                    help="seeded-hash training-order shuffle before packing")
     ap.add_argument("--shard-tokens", type=int, default=None)
     ap.add_argument("--split", default=None,
                     help="leakage-safe url-keyed split column, e.g. "
@@ -108,6 +110,7 @@ def main() -> None:
         max_pages_per_host=args.max_per_host,
         mixture_alpha_x100=args.mixture_alpha,
         seq_len=args.seq_len,
+        shuffle_seed=args.shuffle_seed,
         shard_budget_tokens=args.shard_tokens,
         shard_out_dir=(os.path.join(args.output, "shards")
                        if args.shard_tokens else None),
