@@ -158,18 +158,24 @@ def shard_manifest(assignments: DataFrame) -> DataFrame:
 
 
 def write_shards(packed: DataFrame, out_dir: str,
-                 n_tasks: int = 64) -> DataFrame:
-    """Materialize a ``pack_shards`` result as one ``shard-NNNNNNN.txt.gz``
-    file per shard under ``out_dir``; returns the manifest DataFrame
+                 n_tasks: int = 64,
+                 file_format: str = "tsv") -> DataFrame:
+    """Materialize a ``pack_shards`` result as one gzipped file per shard
+    under ``out_dir``; returns the manifest DataFrame
     (shard_id, file, n_docs, shard_tokens, n_bytes, content_md5) — the
     caller triggers the write with an action on it.
 
     Input needs (doc_id, n_tokens, shard_id, text).  Each file holds the
-    shard's documents as ``doc_id<TAB>n_tokens<TAB>text<LF>`` lines sorted
-    by doc_id, gzipped with mtime=0 — so a re-run over the same table
-    produces byte-identical archives, and ``content_md5`` (md5 of the
-    uncompressed payload) is reproducible by any engine from the table
-    alone.  Shards are hash-distributed over ``n_tasks`` write tasks and a
+    shard's documents one per line, sorted by doc_id, gzipped with
+    mtime=0 — so a re-run over the same table produces byte-identical
+    archives, and ``content_md5`` (md5 of the uncompressed payload) is
+    reproducible by any engine from the table alone.  ``file_format``:
+    "tsv" (default) writes ``doc_id<TAB>n_tokens<TAB>escaped-text`` lines
+    as ``shard-NNNNNNN.txt.gz``; "jsonl" writes one
+    ``{"id": …, "n_tokens": …, "text": …}`` object per line as
+    ``shard-NNNNNNN.jsonl.gz`` — the framing most LM training loaders
+    ingest directly (sorted keys, compact separators, ensure_ascii=False:
+    a fully canonical, reproducible encoding).  Shards are hash-distributed over ``n_tasks`` write tasks and a
     task buffers ONE shard at a time (rows arrive shard-clustered after
     the repartition+sort), so task memory is bounded by the token budget,
     not the corpus.  Files are written to a task-attempt temp name and
@@ -178,6 +184,8 @@ def write_shards(packed: DataFrame, out_dir: str,
     import hashlib
     import os
 
+    if file_format not in ("tsv", "jsonl"):
+        raise ValueError(f"unknown file_format: {file_format!r}")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_task(batches):
@@ -188,19 +196,33 @@ def write_shards(packed: DataFrame, out_dir: str,
 
         def flush(shard_id, rows, out):
             rows.sort(key=lambda r: r["doc_id"])
-            # one LINE per doc, unconditionally: extracted text contains
-            # real newlines (and may contain tabs), so the field text is
-            # escaped \ -> \\, newline -> \n, tab -> \t — an unambiguous,
-            # reversible framing a line-oriented consumer can parse
-            payload = "".join(
-                "{}\t{}\t{}\n".format(
-                    r["doc_id"], r["n_tokens"],
-                    r["text"].replace("\\", "\\\\")
-                             .replace("\n", "\\n").replace("\t", "\\t"),
-                )
-                for r in rows
-            ).encode("utf-8")
-            dest = os.path.join(out_dir, f"shard-{shard_id:07d}.txt.gz")
+            if file_format == "jsonl":
+                import json
+
+                payload = "".join(
+                    json.dumps({"id": r["doc_id"],
+                                "n_tokens": r["n_tokens"],
+                                "text": r["text"]},
+                               sort_keys=True, ensure_ascii=False,
+                               separators=(",", ":")) + "\n"
+                    for r in rows
+                ).encode("utf-8")
+                dest = os.path.join(out_dir,
+                                    f"shard-{shard_id:07d}.jsonl.gz")
+            else:
+                # one LINE per doc, unconditionally: extracted text contains
+                # real newlines (and may contain tabs), so the field text is
+                # escaped \ -> \\, newline -> \n, tab -> \t — an unambiguous,
+                # reversible framing a line-oriented consumer can parse
+                payload = "".join(
+                    "{}\t{}\t{}\n".format(
+                        r["doc_id"], r["n_tokens"],
+                        r["text"].replace("\\", "\\\\")
+                                 .replace("\n", "\\n").replace("\t", "\\t"),
+                    )
+                    for r in rows
+                ).encode("utf-8")
+                dest = os.path.join(out_dir, f"shard-{shard_id:07d}.txt.gz")
             tmp = f"{dest}.inprogress-{os.getpid()}"
             with open(tmp, "wb") as sink:
                 sink.write(gzip.compress(payload, mtime=0))

@@ -557,6 +557,47 @@ def test_write_shards_rerun_byte_identical(spark, tmp_path):
         assert ids == sorted(ids)
 
 
+def test_write_shards_jsonl_format(spark, tmp_path):
+    """file_format='jsonl' writes canonical one-object-per-line gzip
+    shards: parseable JSON with exact id/n_tokens/text roundtrip
+    (including newlines and non-ASCII in text), same manifest totals as
+    the tsv writer, and deterministic across re-runs."""
+    import gzip
+    import hashlib
+    import json
+
+    from rs_trafilatura_spark.operators.packing import pack_shards, write_shards
+
+    rows = [(i, "line one\nline two\ttabbed é" + " tok" * (5 + i % 9))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    packed = pack_shards(docs, budget_tokens=60, bucket_width=8,
+                         carry=("text",))
+    d1, d2 = str(tmp_path / "j1"), str(tmp_path / "j2")
+    man = {r["shard_id"]: r
+           for r in write_shards(packed, d1, file_format="jsonl").collect()}
+    man2 = {r["shard_id"]: r
+            for r in write_shards(packed, d2, file_format="jsonl").collect()}
+    texts = dict(rows)
+    seen = 0
+    for sid, m in man.items():
+        assert m["file"].endswith(".jsonl.gz")
+        payload = gzip.decompress(open(m["file"], "rb").read())
+        assert hashlib.md5(payload).hexdigest() == m["content_md5"]
+        assert m["content_md5"] == man2[sid]["content_md5"]
+        objs = [json.loads(l) for l in payload.decode().splitlines()]
+        assert len(objs) == m["n_docs"]
+        assert sum(o["n_tokens"] for o in objs) == m["shard_tokens"]
+        for o in objs:
+            assert o["text"] == texts[o["id"]]
+            seen += 1
+    assert seen == 40
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_shards(packed, str(tmp_path / "bad"), file_format="zip")
+
+
 def test_shingle_hash64_matches_string_shingles():
     """The vectorized word-mix hash must preserve the distinct-shingle SET
     semantics: per-doc distinct counts and pairwise intersections equal
