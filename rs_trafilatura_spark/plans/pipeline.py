@@ -65,6 +65,7 @@ def pretraining_pipeline(
     tokenizer_merges: Optional[list] = None,
     shard_budget_tokens: Optional[int] = None,
     shard_out_dir: Optional[str] = None,
+    shard_format: str = "tsv",
     datasheet: bool = False,
     guess_language: bool = False,
     split_weights_x100: Optional[tuple] = None,
@@ -96,7 +97,8 @@ def pretraining_pipeline(
       doc-id order — reproducible order randomization per epoch seed),
     - ``shard_manifest``: written-shard manifest rows (when
       ``shard_out_dir``; requires ``shard_budget_tokens``; with splits,
-      one sub-directory per split and a ``split`` field per row),
+      one sub-directory per split and a ``split`` field per row;
+      ``shard_format`` picks the file framing — "tsv" or "jsonl"),
     - ``datasheet``: the release summary sheet (when ``datasheet=True``;
       includes a docs_per_split section when splits are assigned),
     - ``release``: zero-arg callable freeing every cache this run owns
@@ -394,15 +396,16 @@ def pretraining_pipeline(
                     **pack_kw)
                 manifest.extend(
                     write_shards(packed,
-                                 os.path.join(shard_out_dir, f"split={s}"))
+                                 os.path.join(shard_out_dir, f"split={s}"),
+                                 file_format=shard_format)
                     .withColumn("split", F.lit(s)).collect())
             out["shard_manifest"] = manifest
         else:
             packed = pack_shards(pack_corpus,
                                  budget_tokens=shard_budget_tokens,
                                  carry=("text",), **pack_kw)
-            out["shard_manifest"] = write_shards(packed,
-                                                 shard_out_dir).collect()
+            out["shard_manifest"] = write_shards(
+                packed, shard_out_dir, file_format=shard_format).collect()
         _record("shards_written", len(out["shard_manifest"]))
 
     return out

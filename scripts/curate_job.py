@@ -62,6 +62,8 @@ def main() -> None:
     ap.add_argument("--shuffle-seed", type=int, default=None,
                     help="seeded-hash training-order shuffle before packing")
     ap.add_argument("--shard-tokens", type=int, default=None)
+    ap.add_argument("--shard-format", default="tsv",
+                    choices=("tsv", "jsonl"))
     ap.add_argument("--split", default=None,
                     help="leakage-safe url-keyed split column, e.g. "
                          "train:98,val:1,test:1 (percents sum to 100)")
@@ -112,6 +114,7 @@ def main() -> None:
         seq_len=args.seq_len,
         shuffle_seed=args.shuffle_seed,
         shard_budget_tokens=args.shard_tokens,
+        shard_format=args.shard_format,
         shard_out_dir=(os.path.join(args.output, "shards")
                        if args.shard_tokens else None),
         quality_model=(
