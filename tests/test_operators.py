@@ -406,6 +406,20 @@ def test_connected_components_long_path(spark):
     assert got == {(i, 0) for i in range(41)}
 
 
+def test_connected_components_raises_instead_of_wrong_labels(spark):
+    """Exhausting max_rounds without reaching the star fixpoint must
+    raise: a non-star edge set read as (component, member) pairs would
+    be silently wrong component labels."""
+    import pytest
+
+    from rs_trafilatura_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  ["a_id", "b_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1).collect()
+
+
 def test_connected_components_self_loops_and_dups(spark):
     from rs_trafilatura_spark.operators.dedup import connected_components
 
