@@ -129,6 +129,24 @@ def _task_bitsets(docs: DataFrame, num_bits: int, k: int) -> DataFrame:
     return hashed.mapInPandas(per_task, "bits binary")
 
 
+def update_bloom(bits: bytes, new_docs: DataFrame,
+                 k: int = DEFAULT_K,
+                 tree_fanin: int | None = None) -> bytes:
+    """OR a new crawl increment into an existing serialized filter — the
+    cross-crawl maintenance step the module docstring describes: the
+    bitset persists next to the crawl manifest and each increment folds
+    in without rescanning history.  ``num_bits`` is implied by the
+    serialized size (it must match the original build's, or probe
+    positions would disagree); ``k`` likewise.  Union-of-builds equals
+    build-of-union exactly (bitwise OR), so incremental maintenance
+    never drifts from a from-scratch rebuild."""
+    num_bits = len(bits) * 8
+    inc = build_bloom(new_docs, num_bits, k, tree_fanin)
+    acc = np.frombuffer(bits, dtype=np.uint8) | np.frombuffer(
+        inc, dtype=np.uint8)
+    return acc.tobytes()
+
+
 def seen_filter(new_docs: DataFrame, old_docs: DataFrame,
                 num_bits: int = DEFAULT_NUM_BITS,
                 k: int = DEFAULT_K) -> DataFrame:

@@ -496,6 +496,23 @@ def test_bloom_tree_reduce_matches_direct(spark):
     assert reduced.count() <= 3
 
 
+def test_bloom_incremental_update_equals_rebuild(spark):
+    """update_bloom(build(A), B) must equal build(A union B) byte-for-byte
+    (OR distributes), so incremental cross-crawl maintenance never drifts
+    from a from-scratch rebuild."""
+    from rs_trafilatura_spark.operators.bloom import build_bloom, update_bloom
+
+    a = spark.createDataFrame(
+        [(i, f"crawl one doc {i}") for i in range(120)], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(i, f"crawl two doc {i}") for i in range(80)], ["doc_id", "text"])
+    base = build_bloom(a, 1 << 16, 2)
+    incr = update_bloom(base, b, k=2)
+    full = build_bloom(a.unionByName(b), 1 << 16, 2)
+    assert incr == full
+    assert incr != base
+
+
 def test_bloom_bitset_properties():
     """No false negatives by construction; a fresh hash misses (fill
     factor ~1e-4 => false-hit probability ~1e-16 at k=4)."""
