@@ -127,11 +127,15 @@ _OWNED_CACHE: list[DataFrame] = []
 def release_cache() -> None:
     """Unpersist every frame the last curate_pages/mark_near_duplicates
     calls cached (no-op if the caller persisted its own input, or
-    nothing is cached)."""
+    nothing is cached), plus the dedup tier's LSH feature cache."""
+    from ..operators.dedup import _LSH_FEATURE_CACHE
+
     while _OWNED_CACHE:
         _OWNED_CACHE.pop().unpersist()
     while _PENDING_CACHE:
         _PENDING_CACHE.pop().unpersist()
+    while _LSH_FEATURE_CACHE:
+        _LSH_FEATURE_CACHE.pop().unpersist()
 
 
 def mark_near_duplicates(curated: DataFrame,
@@ -198,16 +202,15 @@ def mark_near_duplicates(curated: DataFrame,
         _OWNED_CACHE.append(curated)
 
     kept = curated.filter(F.col("drop_reason").isNull())
-    # narrow second cache for the LSH passes: the signature, shingle, and
-    # band computations each re-scan their input, and scanning the WIDE
-    # persisted frame (content_html/markdown/spans, ~10 KB/row) for a
-    # (doc_id, text) projection pays the full row decode every pass —
-    # measured ~2x the whole LSH stage on the 100k corpus.  At warehouse
-    # scale this is the narrow staging table the dedup job reads.
+    # No narrow (doc_id, text) cache anymore: since r7 the LSH operators
+    # read their input text exactly ONCE (sig_shingle_udf/minhash via
+    # lsh_features, which persists the narrow per-doc feature frame
+    # itself), so a text cache here would add a full write+read of the
+    # corpus text for a single consumer.  The one remaining text pass
+    # projects (doc_id, text) straight out of the persisted wide frame.
     docs = kept.select(
         _id(F.col("url")).alias("doc_id"), F.col("content_text").alias("text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _OWNED_CACHE.append(docs)
+    )
     if method == "exact":
         pairs = lsh_near_dup_pairs(docs, jaccard_threshold_x1000)
         losers = pairs.select(F.col("b_id").alias("_loser")).distinct()
