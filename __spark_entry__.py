@@ -65,7 +65,32 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
+    # The sf-dir tables are written as ONE parquet row group, and a row
+    # group is the real split unit — every downstream map/join stage
+    # would otherwise run on a single core regardless of cluster size
+    # (measured: the ngram_jaccard self-join spent 6.8s single-task vs
+    # 1.3s spread).  One tiny round-robin shuffle of the input rows
+    # right after the read (guide: "input skew — repartition immediately
+    # after the read") spreads every query; count is cluster-derived,
+    # not a local-mode constant.
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_docs + a hash repartition on the unique doc_id: the sf-dir tables
+    are ONE parquet row group (the real split unit), so without a spread
+    every map/join stage runs on a single core regardless of cluster
+    size.  Used by the queries whose per-row work dominates (measured:
+    the ngram_jaccard self-join 6.8s single-task vs 1.1s spread; Gopher
+    regex rules 3.2s vs 1.3s); branch-heavy cheap queries keep the plain
+    read — for them the extra exchanges cost more than one core loses
+    (ann_topk_methods measured 3.8s plain vs 6.2s spread).  Hash on
+    doc_id, NOT round-robin: keyless repartition pays a local whole-row
+    sort (SPARK-23207) and does not co-partition later doc_id joins.
+    Count is cluster-derived, not a local-mode constant."""
+    return _docs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,7 +164,7 @@ def _run_kernel(spark: SparkSession, pages: DataFrame,
     from rs_trafilatura_spark.options import DEFAULT_OPTIONS
 
     return run_extraction(spark, pages, options or DEFAULT_OPTIONS,
-                          target_partitions=8)
+                          target_partitions=spark.sparkContext.defaultParallelism)
 
 
 def _id_str():
@@ -1018,7 +1043,7 @@ def q_redact_pii(spark, sf_dir):
     )
     from rs_trafilatura_spark.operators.textstats import redact_pii
 
-    base = _docs(spark, sf_dir)
+    base = _docs_spread(spark, sf_dir)
     docs = base.select(
         "doc_id",
         F.concat(
@@ -1078,7 +1103,7 @@ def q_fingerprint(spark, sf_dir):
         canonical_fingerprint, fingerprint,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_spread(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") < 5).select("text")
     hits = contamination_hits(docs, bench, n=13)
     base = fingerprint(docs).join(
@@ -1107,7 +1132,7 @@ def q_fingerprint(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from rs_trafilatura_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir))
+    return ngram_jaccard_pairs(_docs_spread(spark, sf_dir))
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1120,14 +1145,14 @@ def q_minhash_lsh(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.dedup import lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(_docs(spark, sf_dir), threshold_x1000=800)
+    return lsh_near_dup_pairs(_docs_spread(spark, sf_dir), threshold_x1000=800)
 
 
 def q_simhash_near_dups(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.dedup import simhash_near_dups
 
-    return simhash_near_dups(_docs(spark, sf_dir))
+    return simhash_near_dups(_docs_spread(spark, sf_dir))
 
 
 def q_near_dup_clusters(spark, sf_dir):
@@ -1139,7 +1164,7 @@ def q_near_dup_clusters(spark, sf_dir):
     _ensure_pyfiles(spark)
     from rs_trafilatura_spark.operators.dedup import near_dup_clusters
 
-    return near_dup_clusters(_docs(spark, sf_dir), threshold_x1000=800)
+    return near_dup_clusters(_docs_spread(spark, sf_dir), threshold_x1000=800)
 
 
 # suffix planted onto every document so the line-level rules (bullet,
@@ -1149,7 +1174,7 @@ _QLINES = ("\n- bullet point item\nshort\nTrailing thought goes on..."
 
 
 def _multiline_docs(spark, sf_dir):
-    return _docs(spark, sf_dir).withColumn(
+    return _docs_spread(spark, sf_dir).withColumn(
         "text", F.concat(F.col("text"), F.lit(_QLINES))
     )
 
@@ -1943,7 +1968,7 @@ _REP_LINE = "\nA planted duplicate line.\nA planted duplicate line."
 
 
 def _repetition_docs(spark, sf_dir):
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     mod = F.col("doc_id") % 4
     suffix = (
         F.when(mod == 0, F.lit(_REP_PARA))
