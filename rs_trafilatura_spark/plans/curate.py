@@ -86,27 +86,79 @@ def curate_pages(
 
     with_reason = with_reason.persist(StorageLevel.MEMORY_AND_DISK)
     _PENDING_CACHE.append(with_reason)
+    # Narrow gate cache + EAGER population.  Two reasons, both measured
+    # on the 100k corpus:
+    #   1. A lazily-persisted frame does not protect against the gate's
+    #      two branches racing: Spark schedules independent map stages
+    #      concurrently, both find the cache unpopulated, and the kernel
+    #      runs TWICE (~300 CPU-s each).  One count() populates the
+    #      cache before any consumer plan executes.
+    #   2. Projecting 3 gate columns out of the WIDE cache costs ~70
+    #      CPU-s per pass (nested/text columns make the columnar decode
+    #      expensive); the winners aggregate and the loser probe both
+    #      need it, so they read this tiny dedicated cache instead.
+    # The count() reads through the wide cache, so one job populates
+    # BOTH caches with a single kernel run.
+    narrow = (
+        with_reason.select("url", "fingerprint", "drop_reason")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _PENDING_CACHE.append(narrow)
+    narrow.count()
 
+    # r7 shape: decide losers on a NARROW projection, re-attach the small
+    # loser set to the wide frame (guide §8: every shuffle but the last
+    # moves a lightweight proxy).  The previous join-back joined winners
+    # onto the FULL wide frame by fingerprint — a sort-merge join that
+    # sorted every 10 KB row (content_html/markdown/spans) by hash, with
+    # min(struct(...)) additionally forcing a SortAggregate (struct
+    # aggregates cannot hash-agg); measured 815 CPU-s of the 100k-page
+    # curation run.  Equivalences:
+    #   - min(struct(gated, url)) == min(concat(gated ? '1' : '0', url))
+    #     because the prefix char dominates the binary string order
+    #     exactly like the struct's leading bool field, and the winner
+    #     url is the suffix — and min(string) hash-aggregates with
+    #     map-side partials.
+    #   - a row is an exact_duplicate iff it is ungated, carries a
+    #     non-null fingerprint, and its url differs from its group's
+    #     winner url — the same row set the old _w.url != url predicate
+    #     marked (left-join nulls compared to false there).
+    # The loser set is duplicate pages only; AQE broadcasts it while it
+    # is small and degrades to a url-keyed shuffle join otherwise — the
+    # wide frame then shuffles ONCE by url, never sorted, which is also
+    # the 100 TB shape (the old plan shuffled AND sorted it by
+    # fingerprint unconditionally).
     winners = (
-        with_reason
+        narrow
         .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
-        .agg(F.min(F.struct(
-            F.col("drop_reason").isNotNull().alias("gated"),
-            F.col("url").alias("url"),
-        )).alias("_w"))
+        .agg(F.min(F.concat(
+            F.when(F.col("drop_reason").isNotNull(), F.lit("1"))
+            .otherwise(F.lit("0")),
+            F.col("url"),
+        )).alias("_wk"))
+        .select("fingerprint", F.expr("substring(_wk, 2)").alias("_wurl"))
+    )
+    losers = (
+        narrow.join(winners, "fingerprint")
+        .filter(F.col("drop_reason").isNull()
+                & (F.col("_wurl") != F.col("url")))
+        .select("url")
+        # url is the crawl identity and assumed unique, but the old
+        # fingerprint join could never fan out a wide row even when that
+        # assumption broke — keep that property: one loser row per url
+        .distinct()
+        .withColumn("_exact_dup", F.lit(True))
     )
     deduped = (
-        with_reason.join(winners, "fingerprint", "left")
+        with_reason.join(losers, "url", "left")
         .withColumn(
             "drop_reason",
             F.when(
-                F.col("drop_reason").isNull()
-                & (F.col("_w.url") != F.col("url")),
+                F.col("drop_reason").isNull() & F.col("_exact_dup"),
                 F.lit("exact_duplicate"),
             ).otherwise(F.col("drop_reason")),
         )
-        .drop("_w")
         .select(*with_reason.columns)
     )
 
@@ -195,9 +247,19 @@ def mark_near_duplicates(curated: DataFrame,
     # `curated` and must outlive this pipeline's materialization
     while _OWNED_CACHE:
         _OWNED_CACHE.pop().unpersist()
+    adopted = False
     while _PENDING_CACHE:
         _OWNED_CACHE.append(_PENDING_CACHE.pop())
-    if curated.storageLevel == StorageLevel.NONE:
+        adopted = True
+    # Persist the input ONLY when its lineage is not already backed by
+    # the producing curate_pages' with_reason cache: `curated` is that
+    # cache plus a cheap broadcast-join attach of the loser set, and
+    # persisting it too re-serializes the full wide frame into a SECOND
+    # columnar cache — measured ~350 CPU-s on the 100k corpus, more than
+    # every consumer's re-derivation combined (the LSH pass projects two
+    # columns; the final output join reads the wide rows once either
+    # way).
+    if not adopted and curated.storageLevel == StorageLevel.NONE:
         curated = curated.persist(StorageLevel.MEMORY_AND_DISK)
         _OWNED_CACHE.append(curated)
 
