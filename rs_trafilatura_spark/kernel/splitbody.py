@@ -41,19 +41,43 @@ def _find_candidates(article: Element, token: str) -> list[Element]:
     out: list[Element] = []
     kept: set[int] = set()
     for el in article.iterdesc():
-        if any(id(a) in kept for a in el.ancestors()):
-            continue
         cls = el.get("class")
-        if cls and token in cls.lower():
-            out.append(el)
-            kept.add(id(el))
+        # the ancestor walk only matters for elements that WOULD be kept
+        # (non-matching elements were only ever skipped, never added), and
+        # an empty kept-set can never match — both guards keep the output
+        # identical while skipping the per-element ancestor scan that
+        # profiled at ~5% of the whole cascade
+        if not (cls and token in cls.lower()):
+            continue
+        if kept and any(id(a) in kept for a in el.ancestors()):
+            continue
+        out.append(el)
+        kept.add(id(el))
     return out
 
 
-def _infer_signature(article: Element) -> Optional[str]:
+def _infer_signature(article: Element) -> Optional[tuple[str, list[Element]]]:
+    """First signature token with >= 2 non-nested candidates, plus those
+    candidates — ONE tree walk for all four tokens (was one walk per
+    token) with the same per-token nesting suppression and the same
+    priority order."""
+    outs: dict[str, list[Element]] = {t: [] for t in _SIGNATURES}
+    kepts: dict[str, set[int]] = {t: set() for t in _SIGNATURES}
+    for el in article.iterdesc():
+        cls = el.get("class")
+        if not cls:
+            continue
+        low = cls.lower()
+        for token in _SIGNATURES:
+            if token in low:
+                kept = kepts[token]
+                if kept and any(id(a) in kept for a in el.ancestors()):
+                    continue
+                outs[token].append(el)
+                kept.add(id(el))
     for token in _SIGNATURES:
-        if len(_find_candidates(article, token)) >= 2:
-            return token
+        if len(outs[token]) >= 2:
+            return token, outs[token]
     return None
 
 
@@ -82,13 +106,18 @@ def maybe_merge_split_bodies(
     article = _nearest_article_ancestor(content_node)
     if article is None:
         return None
-    token = _signature_for_node(content_node) or _infer_signature(article)
+    token = _signature_for_node(content_node)
+    candidates: Optional[list[Element]] = None
     if token is None:
-        return None
+        inferred = _infer_signature(article)
+        if inferred is None:
+            return None
+        token, candidates = inferred
     # entry-content wrappers nest everywhere: only merge under relaxed mode
     if token == "entry-content" and not relaxed:
         return None
-    candidates = _find_candidates(article, token)
+    if candidates is None:
+        candidates = _find_candidates(article, token)
     if len(candidates) < 2:
         return None
 
