@@ -925,6 +925,10 @@ def q_corpus_datasheet(spark, sf_dir):
     from rs_trafilatura_spark.operators.textstats import language_guess_col
     from rs_trafilatura_spark.plans import stage_metrics
 
+    # deliberately NOT _docs_spread: the union's many branches already
+    # run as parallel stages, so the per-branch repartition exchanges
+    # cost more than the single-core scans lose (interleaved A/B:
+    # 5.1-5.7s plain vs 6.5-7.2s spread)
     docs = _docs(spark, sf_dir)
     out = _run_kernel(spark, _wrap_roundtrip(docs))
     stages = stage_metrics(out).select(
@@ -1339,19 +1343,29 @@ def q_write_shards(spark, sf_dir):
     splits = split_corpus(_docs(spark, sf_dir), key_col="doc_id",
                           gate_col=split_gate)
     out_dir = tempfile.mkdtemp(prefix="rs_traf_shards_")
-    manifest = []
+
+    # mirrors plans/pipeline.py: packing runs PER SPLIT so a shard
+    # file can never contain mixed train/eval text.  The three splits
+    # are independent job chains, so they run from a small thread pool
+    # (guide §2.6): one split's straggling write tasks back-fill with
+    # the next split's pack jobs instead of leaving the cluster idle —
+    # results are collected per split and ordered deterministically
+    # below, so the output is identical to the serial loop.
+    def _run_split(s):
+        packed = pack_shards(splits.filter(F.col("split") == s),
+                             budget_tokens=2000, bucket_width=64,
+                             carry=("text",))
+        rows = write_shards(
+            packed, os.path.join(out_dir, f"split={s}")).collect()
+        return [dict(r.asDict(), split=s) for r in rows]
+
+    from concurrent.futures import ThreadPoolExecutor
+
     try:
-        # mirrors plans/pipeline.py: packing runs PER SPLIT so a shard
-        # file can never contain mixed train/eval text
-        for s in ("train", "val", "test"):
-            packed = pack_shards(splits.filter(F.col("split") == s),
-                                 budget_tokens=2000, bucket_width=64,
-                                 carry=("text",))
-            for r in write_shards(
-                    packed, os.path.join(out_dir, f"split={s}")).collect():
-                d = r.asDict()
-                d["split"] = s
-                manifest.append(d)
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            manifest = [d for part in pool.map(_run_split,
+                                               ("train", "val", "test"))
+                        for d in part]
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(manifest).select(
