@@ -388,17 +388,28 @@ def pretraining_pipeline(
         from ..operators.packing import pack_shards, write_shards
 
         if split_names is not None:
-            manifest = []
-            for s in split_names:
+            # the splits are independent pack->write job chains: run them
+            # from a small thread pool so one split's straggling write
+            # tasks back-fill with the next split's pack stages (guide
+            # §2.6).  pool.map preserves split order and collect()
+            # preserves partition order, so the manifest list is
+            # element-for-element identical to the old serial loop.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _write_split(s):
                 packed = pack_shards(
                     pack_corpus.filter(F.col("split") == s),
                     budget_tokens=shard_budget_tokens, carry=("text",),
                     **pack_kw)
-                manifest.extend(
-                    write_shards(packed,
-                                 os.path.join(shard_out_dir, f"split={s}"),
-                                 file_format=shard_format)
-                    .withColumn("split", F.lit(s)).collect())
+                return write_shards(
+                    packed, os.path.join(shard_out_dir, f"split={s}"),
+                    file_format=shard_format,
+                ).withColumn("split", F.lit(s)).collect()
+
+            manifest = []
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                for rows in pool.map(_write_split, split_names):
+                    manifest.extend(rows)
             out["shard_manifest"] = manifest
         else:
             packed = pack_shards(pack_corpus,
