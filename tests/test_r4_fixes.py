@@ -94,23 +94,29 @@ def test_mark_near_duplicates_cache_ownership(spark):
         "fingerprint string, stage string, extraction_quality double, "
         "language string",
     )
+    from rs_trafilatura_spark.operators import dedup as dedup_mod
+
     curate.mark_near_duplicates(df).count()
-    # one call owns at most two frames: the wide curated frame + the
-    # narrow (doc_id, text) cache the LSH passes scan
-    assert len(curate._OWNED_CACHE) == 2
+    # r7 contract: one call owns exactly the wide curated frame (the old
+    # narrow (doc_id, text) cache is gone — the LSH tier reads text ONCE
+    # and keeps its own feature cache in operators/dedup); that feature
+    # cache holds at most one generation
+    assert len(curate._OWNED_CACHE) == 1
+    assert len(dedup_mod._LSH_FEATURE_CACHE) == 1
     first = list(curate._OWNED_CACHE)
     # next call releases the previous owned frames — nothing accumulates
     curate.mark_near_duplicates(df.limit(1)).count()
-    assert len(curate._OWNED_CACHE) == 2
+    assert len(curate._OWNED_CACHE) == 1
+    assert len(dedup_mod._LSH_FEATURE_CACHE) == 1
     assert all(f.storageLevel == StorageLevel.NONE for f in first)
     curate.release_cache()
     assert not curate._OWNED_CACHE
-    # caller-persisted input stays caller-owned (only the narrow docs
-    # cache is owned here, never the caller's frame)
+    assert not dedup_mod._LSH_FEATURE_CACHE
+    # caller-persisted input stays caller-owned — nothing is owned here
+    # (the LSH feature cache is the dedup module's, not curate's)
     cached = df.persist(StorageLevel.MEMORY_AND_DISK)
     curate.mark_near_duplicates(cached).count()
-    assert len(curate._OWNED_CACHE) == 1
-    assert cached not in curate._OWNED_CACHE
+    assert not curate._OWNED_CACHE
     assert cached.storageLevel != StorageLevel.NONE
     curate.release_cache()
     assert cached.storageLevel != StorageLevel.NONE
