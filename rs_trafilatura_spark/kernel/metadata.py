@@ -384,15 +384,35 @@ def _language_from_dom(doc: Document, meta: dict) -> None:
 _CC_HREF_RE = re.compile(r"creativecommons\.org/licenses/([a-z-]+)/")
 
 
-def _categories_from_dom(doc: Document, meta: dict) -> None:
+def _categories_from_dom(doc: Document, meta: dict,
+                         idx: dict | None = None) -> None:
     """Category links (rel=category / breadcrumb-ish category anchors),
-    capped at 5 (dom_extraction.rs:342-369)."""
+    capped at 5 (dom_extraction.rs:342-369).  Anchor-centric: every
+    alternative of the old 4-way comma selector can only match an <a>,
+    so probing the tag-index anchor list (rel equality, else one
+    ancestor scan for the two [class*=] container forms — the chain
+    matcher walks ancestors unbounded, as here) visits O(#anchors)
+    elements instead of matching 4 compiled chains against the whole
+    tree; anchors are in document order, so result order is identical."""
     if meta.get("categories"):
         return
+    anchors = idx.get("a", ()) if idx is not None else select(doc.root, "a")
     cats: list[str] = []
-    for el in select(doc.root, "a[rel='category'], a[rel='category tag'], "
-                               "[class*='cat-links'] a, [class*='post-categories'] a"):
-        text = clean_text(el.text_content())
+    for a in anchors:
+        rel = a.attrib.get("rel")
+        ok = rel == "category" or rel == "category tag"
+        if not ok:
+            anc = a.parent
+            while anc is not None:
+                c = anc.attrib.get("class")
+                if c is not None and ("cat-links" in c
+                                      or "post-categories" in c):
+                    ok = True
+                    break
+                anc = anc.parent
+            if not ok:
+                continue
+        text = clean_text(a.text_content())
         if text and text not in cats:
             cats.append(text)
         if len(cats) >= 5:
@@ -467,7 +487,7 @@ def extract_metadata(doc: Document, author_blacklist: tuple[str, ...] = ()) -> d
     _author_from_dom(doc, meta)
     _canonical_url(doc, meta, idx)
     _language_from_dom(doc, meta)
-    _categories_from_dom(doc, meta)
+    _categories_from_dom(doc, meta, idx)
     _license_from_dom(doc, meta, idx)
     _sitename_from_title(meta)
 

@@ -35,6 +35,17 @@ from .page_type import (
     _PRODUCT_PATHS,
     _SERVICE_PATHS,
     _SERVICE_SUFFIXES,
+    ARTICLE_PATH_RE,
+    CATEGORY_PATH_RE,
+    DOCS_HOST_RE,
+    DOCS_PATH_RE,
+    FORUM_HOST_RE,
+    FORUM_PATH_RE,
+    LISTING_END_RE,
+    LISTING_PATH_RE,
+    PRODUCT_PATH_RE,
+    SERVICE_PATH_RE,
+    SERVICE_SUFFIX_RE,
 )
 
 N_FEATURES = 89
@@ -459,40 +470,45 @@ def model_only_ok() -> bool:
 
 
 def extract_ml_features(
-    doc: Document, url: str = "", model_only: bool = False
+    doc: Document, url: str = "", model_only: bool = False,
+    _url_parts: Optional[tuple] = None,
 ) -> list[float]:
     """89-feature vector; with ``model_only=True`` (classify_page's hot
     path) the blocks whose indices no shipped tree splits on are skipped
     and left 0.0 — classification output is bit-identical because the
-    ensemble never reads them (guarded by model_only_ok() + pytest)."""
+    ensemble never reads them (guarded by model_only_ok() + pytest).
+    ``_url_parts`` is classify_page's already-computed
+    (url_lower, domain, path) — derived exactly as below."""
     if model_only and not model_only_ok():
         model_only = False
     f = [0.0] * N_FEATURES
-    url_lower = (url or "").lower()
-    try:
-        parsed = urlparse(url_lower)
-        domain = parsed.hostname or ""
-        path = parsed.path or "/"
-    except ValueError:
-        domain, path = "", "/"
+    if _url_parts is not None:
+        url_lower, domain, path = _url_parts
+    else:
+        url_lower = (url or "").lower()
+        try:
+            parsed = urlparse(url_lower)
+            domain = parsed.hostname or ""
+            path = parsed.path or "/"
+        except ValueError:
+            domain, path = "", "/"
 
-    f[0] = 1.0 if any(h in domain for h in _FORUM_HOSTS) else 0.0
-    f[1] = 1.0 if any(p in path for p in _FORUM_PATHS) else 0.0
-    f[2] = 1.0 if any(p in url_lower for p in _FORUM_PATHS) else 0.0
-    f[3] = 1.0 if any(h in domain for h in _DOCS_HOSTS) else 0.0
-    f[4] = 1.0 if any(p in path for p in _DOCS_PATHS) else 0.0
-    f[5] = 1.0 if any(p in path for p in _PRODUCT_PATHS) else 0.0
-    f[6] = 1.0 if any(p in path for p in _CATEGORY_PATHS) else 0.0
-    f[7] = 1.0 if any(p in path for p in _SERVICE_PATHS) else 0.0
-    f[8] = 1.0 if any(s in url_lower for s in _SERVICE_SUFFIXES) else 0.0
-    f[9] = 1.0 if any(p in path for p in _ARTICLE_PATHS) else 0.0
+    # marker tables as compiled alternations (page_type.py) — same
+    # booleans as the any(substring) loops, one C scan per table
+    f[0] = 1.0 if FORUM_HOST_RE.search(domain) else 0.0
+    f[1] = 1.0 if FORUM_PATH_RE.search(path) else 0.0
+    f[2] = 1.0 if FORUM_PATH_RE.search(url_lower) else 0.0
+    f[3] = 1.0 if DOCS_HOST_RE.search(domain) else 0.0
+    f[4] = 1.0 if DOCS_PATH_RE.search(path) else 0.0
+    f[5] = 1.0 if PRODUCT_PATH_RE.search(path) else 0.0
+    f[6] = 1.0 if CATEGORY_PATH_RE.search(path) else 0.0
+    f[7] = 1.0 if SERVICE_PATH_RE.search(path) else 0.0
+    f[8] = 1.0 if SERVICE_SUFFIX_RE.search(url_lower) else 0.0
+    f[9] = 1.0 if ARTICLE_PATH_RE.search(path) else 0.0
     f[10] = 1.0 if _BLOG_SLUG_RE.search(url_lower) else 0.0
     path_trimmed = path.rstrip("/")
-    f[11] = 1.0 if any(
-        path_trimmed.endswith(p.rstrip("/")) and p.rstrip("/")
-        for p in _LISTING_PATHS
-    ) else 0.0
-    f[12] = 1.0 if any(p in path for p in _LISTING_PATHS) else 0.0
+    f[11] = 1.0 if LISTING_END_RE.search(path_trimmed) else 0.0
+    f[12] = 1.0 if LISTING_PATH_RE.search(path) else 0.0
     f[13] = 1.0 if ("shop." in domain or "store." in domain) else 0.0
 
     body = doc.body

@@ -11,6 +11,7 @@ The 7 ExtractionProfiles re-express page_type/mod.rs:99-344.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 from urllib.parse import urlparse
@@ -65,6 +66,34 @@ _ARTICLE_PATHS = ("/blog/", "/blog", "/news/", "/article/", "/articles/",
                   "/resource/", "/resources/")
 
 
+def _any_re(markers) -> "re.Pattern":
+    """Compiled alternation with search() semantics identical to
+    ``any(m in s for m in markers)`` — one C scan instead of one
+    substring probe (plus genexpr frame) per marker."""
+    return re.compile("|".join(map(re.escape, markers)))
+
+
+# marker tables compiled once: classify_url + the ml URL feature block run
+# per page, and the any()-genexpr-per-table form profiled ~3% of the
+# whole cascade on the small-page mix
+FORUM_HOST_RE = _any_re(_FORUM_HOSTS)
+FORUM_PATH_RE = _any_re(_FORUM_PATHS)
+DOCS_HOST_RE = _any_re(_DOCS_HOSTS)
+DOCS_PATH_RE = _any_re(_DOCS_PATHS)
+PRODUCT_PATH_RE = _any_re(_PRODUCT_PATHS)
+# startswith-only table: anchored match(), not search()
+PRODUCT_HOST_RE = re.compile("|".join(map(re.escape, _PRODUCT_HOSTS)))
+CATEGORY_PATH_RE = _any_re(_CATEGORY_PATHS)
+SERVICE_PATH_RE = _any_re(_SERVICE_PATHS)
+SERVICE_SUFFIX_RE = _any_re(_SERVICE_SUFFIXES)
+LISTING_PATH_RE = _any_re(_LISTING_PATHS)
+# endswith-any over the rstrip("/")ed markers (all non-empty)
+LISTING_END_RE = re.compile(
+    "(?:" + "|".join(re.escape(p.rstrip("/")) for p in _LISTING_PATHS) + ")$"
+)
+ARTICLE_PATH_RE = _any_re(_ARTICLE_PATHS)
+
+
 def classify_url(url: str) -> Optional[str]:
     """Stage 1: URL pattern tables (page_type/mod.rs:600-655)."""
     try:
@@ -74,25 +103,30 @@ def classify_url(url: str) -> Optional[str]:
     host = (parsed.hostname or "").lower()
     path = parsed.path.lower() or "/"
     path_q = path + (f"?{parsed.query.lower()}" if parsed.query else "")
+    return _classify_url_parts(host, path, path_q)
 
-    if any(host.startswith(h) or h in host for h in _FORUM_HOSTS):
+
+def _classify_url_parts(host: str, path: str, path_q: str) -> Optional[str]:
+    # host.startswith(h) implies h in host, so the old startswith-or-in
+    # forms reduce to the substring alternation
+    if FORUM_HOST_RE.search(host):
         return FORUM
-    if any(p in path_q for p in _FORUM_PATHS):
+    if FORUM_PATH_RE.search(path_q):
         return FORUM
-    if any(host.startswith(h) or h in host for h in _DOCS_HOSTS):
+    if DOCS_HOST_RE.search(host):
         return DOCUMENTATION
-    if any(p in path for p in _DOCS_PATHS):
+    if DOCS_PATH_RE.search(path):
         return DOCUMENTATION
-    if any(p in path for p in _PRODUCT_PATHS) or any(host.startswith(h) for h in _PRODUCT_HOSTS):
+    if PRODUCT_PATH_RE.search(path) or PRODUCT_HOST_RE.match(host):
         return PRODUCT
-    if any(p in path for p in _CATEGORY_PATHS):
+    if CATEGORY_PATH_RE.search(path):
         return CATEGORY
-    if any(p in path for p in _SERVICE_PATHS) or any(s in path for s in _SERVICE_SUFFIXES):
+    if SERVICE_PATH_RE.search(path) or SERVICE_SUFFIX_RE.search(path):
         return SERVICE
     # listing only when the path ENDS with the marker (index pages)
-    if any(path.rstrip("/").endswith(p.rstrip("/")) and p.rstrip("/") for p in _LISTING_PATHS):
+    if LISTING_END_RE.search(path.rstrip("/")):
         return LISTING
-    if any(p in path for p in _ARTICLE_PATHS):
+    if ARTICLE_PATH_RE.search(path):
         return ARTICLE
     return None
 
@@ -200,13 +234,31 @@ def classify_page(doc: Document, url: Optional[str]) -> tuple[str, float]:
     the final authority at its own confidence."""
     from .ml_features import extract_ml_features
 
-    url_type = classify_url(url) if url else None
+    # ONE urlparse shared by stage 1 and the ml URL feature block: for a
+    # lowercased URL the parse split points are identical (delimiters are
+    # case-insensitive) and urlparse().hostname lowercases on its own, so
+    # host/path here equal both consumers' old per-call derivations
+    url_lower = (url or "").lower()
+    try:
+        parsed = urlparse(url_lower)
+        host = parsed.hostname or ""
+        path = parsed.path or "/"
+        query = parsed.query
+        parse_ok = True
+    except ValueError:
+        host, path, query, parse_ok = "", "/", "", False
+    if url and parse_ok:
+        url_type = _classify_url_parts(
+            host, path, path + (f"?{query}" if query else ""))
+    else:
+        url_type = None
     refined, _heur_conf = refine_with_html_signals(doc, url_type)
     # model_only skips feature blocks no shipped tree splits on — the
     # classification result is bit-identical (ml_features.model_only_ok
     # guards against a retrained model reading a skipped index)
     ml_type, ml_conf = classify_ml(
-        extract_ml_features(doc, url or "", model_only=True)
+        extract_ml_features(doc, url or "", model_only=True,
+                            _url_parts=(url_lower, host, path))
     )
     if url_type is not None and url_type != ARTICLE and ml_type == url_type:
         return url_type, 1.0
