@@ -73,3 +73,49 @@ def test_tree_trainer_deterministic_and_vectorized():
     one = np.array([tree_predict_proba(m1["trees"][0], X[i:i + 1])[0]
                     for i in range(20)])
     assert np.allclose(one, tree_predict_proba(m1["trees"][0], X[:20]))
+
+
+def test_fused_signal_walk_matches_refines_own_walk():
+    """classify_page hands refine_with_html_signals the markers gathered
+    by the ml feature walk (_signals_out) — the fused path must agree
+    with refine's own tree walk on every marker family and og:type
+    shape, for every url_type branch of the agreement logic."""
+    from rs_trafilatura_spark.kernel.page_type import refine_with_html_signals
+
+    cases = [
+        # og:type first-wins + forum class marker
+        "<html><head><meta property='og:type' content='Article'></head>"
+        "<body><div class='post-stream'><p>x</p></div></body></html>",
+        # itemtype forum marker
+        "<html><body><div itemtype='https://schema.org/DiscussionForum"
+        "Posting'><p>y</p></div></body></html>",
+        # discourse id + pre>code descendant counting (3 counted, 1 not)
+        "<html><body><div id='discourse-main'></div>"
+        "<pre><code>a</code></pre><pre><code>b</code></pre>"
+        "<span><code>no</code></span>"
+        "<pre><div><code>c</code></div></pre></body></html>",
+        # docs nav markers
+        "<html><body><nav class='docs-sidebar'></nav>"
+        "<div class='toc'></div></body></html>",
+        # duplicate og:type metas (first wins) + add-to-cart class
+        "<html><head><meta property='og:type' content='product'>"
+        "<meta property='og:type' content='article'></head>"
+        "<body><button class='add-to-cart'>buy</button></body></html>",
+        # product-price class + JSON-LD Product
+        "<html><body><div class='product-price'>$5</div><script "
+        "type='application/ld+json'>{\"@type\":\"Product\"}</script>"
+        "</body></html>",
+        # add-to-cart id + doc-nav
+        "<html><body><div id='add-to-cart-x'></div>"
+        "<div class='doc-nav'></div></body></html>",
+        # no markers at all
+        "<html><body><p>nothing special</p></body></html>",
+    ]
+    for html in cases:
+        for ut in (None, "article", "product", "forum", "documentation"):
+            doc = Document(html)
+            expected = refine_with_html_signals(doc, ut)
+            sig: dict = {}
+            extract_ml_features(doc, "", model_only=True, _signals_out=sig)
+            fused = refine_with_html_signals(doc, ut, _walk_signals=sig)
+            assert fused == expected, (html, ut, sig)
