@@ -106,10 +106,57 @@ def _tag_index(doc: Document) -> dict:
     """One walk -> {tag: [elements in doc order]}: the metadata cascade
     probes a dozen tag-known selectors, and sharing a single index walk
     replaces a dozen full-tree scans (semantics identical — the lists are
-    in document order, exactly what select() yields)."""
+    in document order, exactly what select() yields).
+
+    The same walk also buckets the cascade's three ATTRIBUTE-probing
+    selector families (license footers, date candidates, author
+    candidates) under reserved ``"\\0"``-prefixed keys — tag names never
+    start with NUL, so they cannot collide.  Each bucket holds, in
+    document order, exactly the elements the corresponding comma
+    selector matches (same raw-attribute substring / token / equality
+    probes), so _date_from_dom/_author_from_dom/_license_from_dom skip
+    their own full-tree scans.  Nothing in the cascade mutates the tree,
+    so the buckets stay valid for its whole duration (the idx lists
+    already rely on that)."""
     idx: dict = {}
+    date_cand: list = []    # [class*='date'], [class*='published'], [itemprop='datePublished']
+    author_cand: list = []  # [rel='author'], [itemprop='author'], .author, .byline
+    lic: list[list] = [[], [], [], [], []]  # footer tag/cls-token/id, license cls, copyright cls
     for el in doc.root.iterdesc():
-        idx.setdefault(el.tag, []).append(el)
+        tag = el.tag
+        idx.setdefault(tag, []).append(el)
+        attrib = el.attrib
+        cls = attrib.get("class")
+        itemprop = attrib.get("itemprop")
+        if cls:
+            if ("date" in cls or "published" in cls
+                    or itemprop == "datePublished"):
+                date_cand.append(el)
+            split = None
+            if ("author" in cls or "byline" in cls):
+                split = cls.split()
+            if (attrib.get("rel") == "author" or itemprop == "author"
+                    or (split is not None
+                        and ("author" in split or "byline" in split))):
+                author_cand.append(el)
+            if "footer" in cls.split():
+                lic[1].append(el)
+            if "license" in cls:
+                lic[3].append(el)
+            if "copyright" in cls:
+                lic[4].append(el)
+        else:
+            if itemprop == "datePublished":
+                date_cand.append(el)
+            if attrib.get("rel") == "author" or itemprop == "author":
+                author_cand.append(el)
+        if tag == "footer":
+            lic[0].append(el)
+        if attrib.get("id") == "footer":
+            lic[2].append(el)
+    idx["\0date"] = date_cand
+    idx["\0author"] = author_cand
+    idx["\0license"] = lic
     return idx
 
 
@@ -337,7 +384,10 @@ def _date_from_dom(doc: Document, meta: dict,
         if d:
             meta["date"] = d
             return
-    for el in select(doc.root, "[class*='date'], [class*='published'], [itemprop='datePublished']"):
+    cands = (idx["\0date"] if idx is not None
+             else select(doc.root, "[class*='date'], [class*='published'], "
+                                   "[itemprop='datePublished']"))
+    for el in cands:
         cand = el.get("content") or el.get("datetime") or clean_text(el.text_content())
         d = parse_date(cand)
         if d:
@@ -345,10 +395,14 @@ def _date_from_dom(doc: Document, meta: dict,
             return
 
 
-def _author_from_dom(doc: Document, meta: dict) -> None:
+def _author_from_dom(doc: Document, meta: dict,
+                     idx: dict | None = None) -> None:
     if meta.get("author"):
         return
-    for el in select(doc.root, "[rel='author'], [itemprop='author'], .author, .byline"):
+    cands = (idx["\0author"] if idx is not None
+             else select(doc.root, "[rel='author'], [itemprop='author'], "
+                                   ".author, .byline"))
+    for el in cands:
         text = clean_text(el.text_content())
         text = re.sub(r"(?i)^by\s+", "", text).strip()
         if validate_metadata_name(text):
@@ -430,20 +484,23 @@ def _license_from_dom(doc: Document, meta: dict,
     priority, which is outcome-identical to five separate selects."""
     if meta.get("license"):
         return
-    buckets: list[list] = [[], [], [], [], []]
-    for el in doc.root.iterdesc():
-        cls = el.get("class")
-        if el.tag == "footer":
-            buckets[0].append(el)
-        if cls:
-            if "footer" in cls.split():
-                buckets[1].append(el)
-            if "license" in cls:
-                buckets[3].append(el)
-            if "copyright" in cls:
-                buckets[4].append(el)
-        if el.get("id") == "footer":
-            buckets[2].append(el)
+    if idx is not None:
+        buckets = idx["\0license"]
+    else:
+        buckets = [[], [], [], [], []]
+        for el in doc.root.iterdesc():
+            cls = el.get("class")
+            if el.tag == "footer":
+                buckets[0].append(el)
+            if cls:
+                if "footer" in cls.split():
+                    buckets[1].append(el)
+                if "license" in cls:
+                    buckets[3].append(el)
+                if "copyright" in cls:
+                    buckets[4].append(el)
+            if el.get("id") == "footer":
+                buckets[2].append(el)
     for bucket in buckets:
         for el in bucket:
             m = _CC_HREF_RE.search(el.text_content())
@@ -484,7 +541,7 @@ def extract_metadata(doc: Document, author_blacklist: tuple[str, ...] = ()) -> d
     _meta_tags(doc, meta, idx)
     _title_from_dom(doc, meta, idx)
     _date_from_dom(doc, meta, idx)
-    _author_from_dom(doc, meta)
+    _author_from_dom(doc, meta, idx)
     _canonical_url(doc, meta, idx)
     _language_from_dom(doc, meta)
     _categories_from_dom(doc, meta, idx)

@@ -223,3 +223,53 @@ def test_ml_feature_size_guard():
     f = extract_ml_features(Document(big), "https://x.example/blog/a")
     # enhanced features skipped above 500 KB body text (ml.rs:178-180)
     assert f[58] > 500_000 and f[63] == 0.0 and f[75] == 0.0
+
+
+def test_metadata_index_buckets_match_selector_scans():
+    """_tag_index's reserved \\0-buckets (date/author/license candidates)
+    must yield the same metadata as the functions' own selector scans,
+    for every attribute family the buckets replace."""
+    import rs_trafilatura_spark.kernel.metadata as M
+    from rs_trafilatura_spark.dom import Document
+
+    cases = [
+        "<html><body><span class='post-date'>January 5, 2021</span></body></html>",
+        "<html><body><div class='x published-on'>2020-03-04</div></body></html>",
+        "<html><body><time itemprop='datePublished' datetime='2019-07-08'>"
+        "</time></body></html>",
+        "<html><body><span itemprop='datePublished'>2018-01-02</span></body></html>",
+        "<html><body><a rel='author'>Jane Roe</a></body></html>",
+        "<html><body><span itemprop='author'>Sam Poe</span></body></html>",
+        "<html><body><div class='author'>By Max Moe</div></body></html>",
+        "<html><body><div class='byline extra'>Kim Doe</div></body></html>",
+        # substring-but-not-token class names must NOT match .author/.byline
+        "<html><body><div class='authoring'>Not An Author</div>"
+        "<p class='coauthor'>Nope</p></body></html>",
+        "<html><body><footer><a href="
+        "'https://creativecommons.org/licenses/by-sa/4.0/'>cc</a></footer>"
+        "</body></html>",
+        "<html><body><div class='site footer'><a href="
+        "'https://creativecommons.org/licenses/by/4.0/'>cc</a></div></body></html>",
+        "<html><body><div id='footer'>creativecommons.org/licenses/by-nc/3.0/"
+        " text</div></body></html>",
+        "<html><body><div class='license-info'>"
+        "creativecommons.org/licenses/by-nd/2.0/</div></body></html>",
+        "<html><body><div class='copyright'>"
+        "creativecommons.org/licenses/zero/1.0/</div></body></html>",
+        "<html><body><div class='footerish'>"
+        "creativecommons.org/licenses/by/4.0/</div></body></html>",
+        "<html><body><a rel='license' href="
+        "'https://creativecommons.org/licenses/by/4.0/'>l</a></body></html>",
+        "<html><body><span class='date'>bad date</span>"
+        "<time itemprop='datePublished'>2001-02-03</time>"
+        "<div class='byline'>A B</div><a rel='author'>C D</a></body></html>",
+    ]
+    for html in cases:
+        doc = Document(html)
+        idx = M._tag_index(doc)
+        for fn in (M._date_from_dom, M._author_from_dom, M._license_from_dom):
+            with_idx: dict = {}
+            with_select: dict = {}
+            fn(doc, with_idx, idx)
+            fn(doc, with_select, None)
+            assert with_idx == with_select, (html, fn.__name__)
