@@ -99,8 +99,25 @@ def curate_pages(
     #      need it, so they read this tiny dedicated cache instead.
     # The count() reads through the wide cache, so one job populates
     # BOTH caches with a single kernel run.
+    #
+    # The narrow frame is hash-REPARTITIONED by fingerprint before the
+    # persist (one ~8 MB exchange at populate time): without it the
+    # cache inherits the kernel's several-hundred scan-split partitions,
+    # and every downstream consumer (winners aggregate map side, losers
+    # probe side, plus their re-execution when the composed plan
+    # materializes) pays a full-width task wave PLUS its own fingerprint
+    # exchange — measured as three ~431-task stages shuffling the same
+    # 8 MB.  Cached data keeps its partitioning, so the winners groupBy
+    # and the narrow⋈winners join are exchange-free co-partitioned
+    # reads.  The explicit partition count is cluster-derived and AQE
+    # does not coalesce user-specified repartitions; fingerprint skew is
+    # capped map-side by the groupBy's partial aggregation, and the
+    # probe side's hot-key risk is the same one the old fingerprint
+    # exchange had.
     narrow = (
         with_reason.select("url", "fingerprint", "drop_reason")
+        .repartition(spark.sparkContext.defaultParallelism * 2,
+                     F.col("fingerprint"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     _PENDING_CACHE.append(narrow)
