@@ -196,15 +196,23 @@ _OWNED_CACHE: list[DataFrame] = []
 def release_cache() -> None:
     """Unpersist every frame the last curate_pages/mark_near_duplicates
     calls cached (no-op if the caller persisted its own input, or
-    nothing is cached), plus the dedup tier's LSH feature cache."""
+    nothing is cached), plus the dedup tier's LSH feature cache.
+
+    BLOCKING on purpose: this is the between-pipelines release, and the
+    default async unpersist lets the next pipeline's kernel stage run
+    while hundreds of MB of old cache blocks are still draining — the
+    previous run's heap state then lands on the next run's first stages
+    (the documented single-shot variance of back-to-back curation
+    benches).  The mid-pipeline generation swaps stay async; only this
+    explicit boundary waits."""
     from ..operators.dedup import _LSH_FEATURE_CACHE
 
     while _OWNED_CACHE:
-        _OWNED_CACHE.pop().unpersist()
+        _OWNED_CACHE.pop().unpersist(blocking=True)
     while _PENDING_CACHE:
-        _PENDING_CACHE.pop().unpersist()
+        _PENDING_CACHE.pop().unpersist(blocking=True)
     while _LSH_FEATURE_CACHE:
-        _LSH_FEATURE_CACHE.pop().unpersist()
+        _LSH_FEATURE_CACHE.pop().unpersist(blocking=True)
 
 
 def mark_near_duplicates(curated: DataFrame,
